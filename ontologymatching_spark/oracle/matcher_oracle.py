@@ -152,7 +152,8 @@ def match_oracle(
             bsm = _bsm(srow, drow)
             psm = _psm(srow, drow)
             vmm = cosine(src_vecs[i], dst_vecs[j])
-            sim = (bsm + psm + vmm) / 3.0
+            # same 12-decimal rounding as the pipeline (selection tie stability)
+            sim = round((bsm + psm + vmm) / 3.0, 12)
             if sim >= threshold:
                 pairs.append((srow["uri"], drow["uri"], sim))
 

@@ -85,10 +85,14 @@ class KGPipeline:
                 pf = matchers.lwc_quality_weighted(pf, sim_cols)
             else:
                 pf = matchers.lwc_average(pf, sim_cols)
+            # round the combined sim to 12 decimals: TF-IDF partial-sum order
+            # varies with partitioning (~1 ULP); rounding makes selection
+            # tie-breaks bit-stable across parallelism levels (SURVEY.md §4(d))
             return pf.select(
                 "src_id", "dst_id",
                 F.col("s_uri").alias("src_uri"), F.col("d_uri").alias("dst_uri"),
-                "sim_bsm", "sim_psm", "sim_vmm", "sim",
+                "sim_bsm", "sim_psm", "sim_vmm",
+                F.round(F.col("sim"), 12).alias("sim"),
             )
 
         scored = st.stage("scored_pairs", _scored, inputs=["candidate_pairs"])

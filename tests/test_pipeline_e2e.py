@@ -1,0 +1,85 @@
+"""End-to-end: pipeline vs the reference-semantics oracle (the primary bar,
+SURVEY.md §5.4 / BASELINE.md P/R >= 0.95), corpus determinism, blocking
+recall, resume."""
+
+import tempfile
+
+import pytest
+
+from ontologymatching_spark.corpus.generator import generate_corpus
+from ontologymatching_spark.operators.evaluate import precision_recall
+from ontologymatching_spark.oracle.matcher_oracle import match_oracle
+from ontologymatching_spark.plans.checkpoint import CheckpointStore
+from ontologymatching_spark.plans.pipeline import KGPipeline
+
+
+def test_corpus_deterministic():
+    a_files, a_gold = generate_corpus(n_repos=6, files_per_repo=4, seed=42)
+    b_files, b_gold = generate_corpus(n_repos=6, files_per_repo=4, seed=42)
+    assert a_files.equals(b_files)
+    assert a_gold.equals(b_gold)
+    # perturbation tiers all present at this size
+    assert set(a_gold["tier"]) >= {1, 2, 3}
+
+
+@pytest.fixture(scope="module")
+def e2e(spark, small_corpus):
+    src_files, gold = small_corpus
+    sf = spark.createDataFrame(src_files)
+    store = CheckpointStore(spark, tempfile.mkdtemp(prefix="kg_e2e_"))
+    out = KGPipeline(spark, store).run(sf)
+    is_src = src_files.repo.str.extract(r"org(\d+)")[0].astype(int) % 2 == 0
+    oracle = match_oracle(src_files[is_src], src_files[~is_src])
+    return out, oracle, store
+
+
+def test_pr_vs_oracle(spark, e2e):
+    out, oracle, _ = e2e
+    pr = precision_recall(out["alignment"], spark.createDataFrame(oracle))
+    assert pr["precision"] >= 0.95, pr
+    assert pr["recall"] >= 0.95, pr
+
+
+def test_alignment_is_one_to_one(e2e):
+    out, _, _ = e2e
+    a = out["alignment"].toPandas()
+    assert a["src_id"].is_unique
+    assert a["dst_id"].is_unique
+
+
+def test_canonical_ids(e2e):
+    out, _, _ = e2e
+    nodes = out["nodes"].toPandas()
+    # every aligned pair shares a canonical id; canonical = min entity_id
+    align = out["alignment"].toPandas()
+    canon = dict(zip(nodes["entity_id"], nodes["canonical_id"]))
+    for r in align.itertuples():
+        assert canon[r.src_id] == canon[r.dst_id]
+        assert canon[r.src_id] <= min(r.src_id, r.dst_id)
+
+
+def test_resume_skips_completed(spark, small_corpus, e2e):
+    _, _, store = e2e
+    src_files, _ = small_corpus
+    sf = spark.createDataFrame(src_files)
+    # all manifests exist → run() must be pure read-back (no recompute):
+    # invalidating nothing, stage() short-circuits; verify by checking the
+    # alignment manifest is not rewritten
+    import os
+
+    mpath = store._manifest_path("alignment")
+    mtime = os.path.getmtime(mpath)
+    out2 = KGPipeline(spark, store).run(sf)
+    assert os.path.getmtime(mpath) == mtime
+    assert out2["alignment"].count() == store.manifest("alignment")["rows"]
+
+
+def test_mid_pipeline_restart(spark, small_corpus, e2e):
+    out, _, store = e2e
+    src_files, _ = small_corpus
+    sf = spark.createDataFrame(src_files)
+    n_before = out["alignment"].count()
+    for st in ["alignment", "nodes", "edges"]:
+        store.invalidate(st)
+    out2 = KGPipeline(spark, store).run(sf)
+    assert out2["alignment"].count() == n_before

@@ -1,0 +1,97 @@
+"""Selection tests mirroring the reference's degenerate test matchers
+(testMatchers/AllOneMatcher, AllZeroMatcher — FIXTURES.md §3) plus the 1-1
+conflict-block fixture pinning greedy semantics."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ontologymatching_spark.operators import selection
+
+
+def _pairs(spark, rows):
+    pdf = pd.DataFrame(
+        rows, columns=["src_id", "dst_id", "src_uri", "dst_uri", "sim"]
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_all_one(spark):
+    # k x k all at sim=1.0 → 1-1 selection returns exactly k pairs
+    k = 5
+    rows = [
+        (i, 100 + j, f"s{i}", f"d{j}", 1.0) for i in range(k) for j in range(k)
+    ]
+    out = selection.select_one_to_one(_pairs(spark, rows)).toPandas()
+    assert len(out) == k
+    assert out["src_id"].nunique() == k and out["dst_id"].nunique() == k
+    # deterministic tie-break: src s0→d0, s1→d1 ... (uri asc)
+    got = dict(zip(out["src_uri"], out["dst_uri"]))
+    assert got == {f"s{i}": f"d{i}" for i in range(k)}
+
+
+def test_all_zero(spark):
+    rows = [(i, 100 + j, f"s{i}", f"d{j}", 0.0) for i in range(3) for j in range(3)]
+    out = selection.select_one_to_one(_pairs(spark, rows), threshold=0.6)
+    assert out.count() == 0
+
+
+def test_greedy_conflict_block(spark):
+    # known optimal greedy outcome: global max first, remove row+col
+    rows = [
+        (1, 11, "a", "x", 0.9),
+        (1, 12, "a", "y", 0.8),
+        (2, 11, "b", "x", 0.85),
+        (2, 12, "b", "y", 0.7),
+    ]
+    out = selection.select_one_to_one(_pairs(spark, rows)).toPandas()
+    got = {(r.src_uri, r.dst_uri) for r in out.itertuples()}
+    # greedy: (a,x,0.9) then (b,y,0.7)
+    assert got == {("a", "x"), ("b", "y")}
+
+
+def test_greedy_matches_sequential_oracle(spark):
+    # mutual-best fixpoint == sequential greedy on a random block
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(20):
+        for j in range(20):
+            sim = float(np.round(rng.random(), 6))
+            rows.append((i, 100 + j, f"s{i:02d}", f"d{j:02d}", sim))
+    out = selection.select_one_to_one(_pairs(spark, rows), threshold=0.0).toPandas()
+    got = {(r.src_uri, r.dst_uri) for r in out.itertuples()}
+
+    ordered = sorted(rows, key=lambda r: (-r[4], r[2], r[3]))
+    used_s, used_d, want = set(), set(), set()
+    for _, _, su, du, sim in ordered:
+        if su in used_s or du in used_d:
+            continue
+        used_s.add(su)
+        used_d.add(du)
+        want.add((su, du))
+    assert got == want
+
+
+def test_topk_per_src(spark):
+    rows = [(1, 100 + j, "a", f"d{j}", 0.6 + j / 100) for j in range(5)]
+    out = selection.select_topk_per_src(_pairs(spark, rows), k=2).toPandas()
+    assert sorted(out["dst_uri"]) == ["d3", "d4"]
+
+
+def test_completion_filter(spark):
+    pairs = _pairs(spark, [(1, 11, "a", "x", 0.9), (2, 12, "b", "y", 0.8)])
+    prior = _pairs(spark, [(1, 13, "a", "z", 1.0)])
+    out = selection.completion_filter(pairs, prior).toPandas()
+    assert list(out["src_uri"]) == ["b"]
+
+
+def test_best_match_boosting(spark):
+    rows = [(1, 11, "a", "x", 0.5), (1, 12, "a", "y", 0.4)]
+    out = (
+        selection.best_match_boosting(_pairs(spark, rows), boost=1.2)
+        .orderBy(F.desc("sim"))
+        .toPandas()
+    )
+    assert abs(out["sim"][0] - 0.6) < 1e-12  # best boosted
+    assert abs(out["sim"][1] - 0.4) < 1e-12  # rest untouched
