@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line. Also runs the KG pipeline on a generated source-code corpus and
+reports triples/sec (the BASELINE.json throughput metric).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ontologymatching_spark import benchqueries as B  # noqa: E402
+from ontologymatching_spark.session import get_spark  # noqa: E402
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    times: dict[str, float] = {}
+    for name, fn in B.QUERIES.items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # force full execution
+        times[name] = round(time.time() - t0, 3)
+        _ = n
+    return times
+
+
+def run_kg_pipeline(spark) -> dict[str, float]:
+    """KG pipeline throughput on a deterministic generated corpus."""
+    from ontologymatching_spark.corpus.generator import generate_corpus
+    from ontologymatching_spark.plans.checkpoint import CheckpointStore
+    from ontologymatching_spark.plans.pipeline import KGPipeline
+
+    src_files, _ = generate_corpus(n_repos=40, files_per_repo=15, seed=42)
+    sf = spark.createDataFrame(src_files).repartition(32).cache()
+    sf.count()
+    t0 = time.time()
+    store = CheckpointStore(spark, tempfile.mkdtemp(prefix="bench_kg_"))
+    out = KGPipeline(spark, store).run(sf)
+    n_triples = out["triples"].count()
+    n_align = out["alignment"].count()
+    wall = time.time() - t0
+    return {
+        "kg_pipeline_sec": round(wall, 3),
+        "kg_triples": n_triples,
+        "kg_alignments": n_align,
+        "triples_per_sec": round(n_triples / wall, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/Arrow paths so per-query numbers measure the plan, not init
+    B.q_doc_stats(spark, sf_dir).count()
+
+    times = run_queries(spark, sf_dir)
+    kg = run_kg_pipeline(spark)
+    total = round(sum(times.values()), 3)
+    sf_label = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "total_query_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_label,
+        **kg,
+        "cpus": int(cpus),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

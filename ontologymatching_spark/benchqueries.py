@@ -1,0 +1,713 @@
+"""Headline queries over the driver testdata (TESTDATA.md tables), each with a
+DuckDB oracle (see __spark_entry__.py). One entry per operator family from
+SURVEY.md §2 — scans/filters (2.2), joins (2.3), aggregations (2.4), windows/
+top-k (2.5), selection (2.6), similarity kernels (2.7) — plus the
+training-data-pipeline ops (dedup, similarity search, text analysis).
+
+Parity rules (driver compares row count + schema + order-insensitive value
+hash):
+  - every computed column aliased identically in Spark and SQL
+  - doubles rounded to 6 (sims) / 2-4 (money/avgs) decimals on BOTH sides
+  - DuckDB's float32 builtins avoided (cosine computed in double manually)
+  - deterministic tie-breaks on every top-k / limit
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _doc_tokens(text_col):
+    """Whitespace tokens of trimmed text — matches DuckDB
+    string_split_regex(trim(text), '\\s+')."""
+    return F.split(F.trim(text_col), r"\s+")
+
+
+_MD5_INT = "conv(substring(md5({t}), 1, 8), 16, 10)"
+
+
+def _md5int_col(c):
+    """First 32 bits of md5 as a bigint — identical in DuckDB via
+    ('0x' || substr(md5(t),1,8))::bigint."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+# MinHash constants (shared with the SQL oracle below)
+MH_P = 2147483647
+MH_A = [2971, 4111, 5107, 6211, 7309, 8419, 9511, 10631]
+MH_B = [1087, 2203, 3301, 4409, 5501, 6607, 7703, 8807]
+N_BANDS = 4  # bands of 2 rows over the 8 signatures
+
+STOPWORDS_SQL = "('the','a','an','and','or','of','in','to','is','it')"
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "in", "to", "is", "it"]
+
+
+# ---------------------------------------------------------------------------
+# relational core (scan/filter/agg/join/window — SURVEY.md §2.2-2.5)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan + filter + groupBy with 8 aggregates (threshold
+    filter + quality-metric aggregation analogs, SURVEY.md §2.2/2.4)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                               AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                          AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)       AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4)                               AS avg_qty,
+       ROUND(AVG(l_discount), 4)                               AS avg_disc,
+       COUNT(*)                                                AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10 (equi-join on
+    URI / ranked-candidate sort analogs, §2.3/2.5)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(rev, orders.o_orderkey == rev.l_orderkey)
+        .select(
+            F.col("o_orderkey"), F.col("c_mktsegment"), F.col("revenue"),
+            F.col("o_orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_REVENUE = """
+WITH rev AS (
+  SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderkey, c.c_mktsegment, rev.revenue, o.o_orderdate
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN rev ON o.o_orderkey = rev.l_orderkey
+ORDER BY rev.revenue DESC, o.o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_topk_orders_per_customer(spark, sf_dir):
+    """Window top-k per group (getRowMaxValues, §2.5)."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("rn").cast("int").alias("rnk"),
+        )
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice, rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def q_region_rollup(spark, sf_dir):
+    """Rollup aggregation over region/nation (grouping-sets family, §2.4)."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    c = load(spark, sf_dir, "customer")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "n_customers", "sum_acctbal",
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+       COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization: lag + gap>30min cumsum (window-function family; the
+    batch analog of session_window, §2.10 note)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet timestamps arrive as TIMESTAMP_NTZ; session TZ is pinned UTC so
+    # the ntz→ltz hop is value-preserving, then cast to epoch seconds (double,
+    # microsecond-exact — epoch micros < 2^53)
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    gap = epoch - F.lag(epoch).over(w)
+    sess = F.sum(
+        F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ev.withColumn("sess", sess)
+        .groupBy("user_id")
+        .agg(
+            F.max("sess").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800.0
+                OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+)
+SELECT user_id, CAST(MAX(sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation (batch shape of a streaming windowed agg)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# matching-engine ops over `documents` (similarity kernels + selection)
+# ---------------------------------------------------------------------------
+
+
+def _doc_names(spark, sf_dir):
+    """Derive entity-like names from documents: first 3 tokens. Even doc_id =
+    source side, odd = target side (mirrors the two-ontology split)."""
+    d = load(spark, sf_dir, "documents")
+    toks = _doc_tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 3), " ").alias("name"),
+        F.element_at(toks, 1).alias("block_key"),
+    )
+
+
+_SQL_DOC_NAMES = """
+  SELECT doc_id,
+         array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1, 3), ' ') AS name,
+         string_split_regex(trim(text), '\\s+')[1] AS block_key
+  FROM documents
+"""
+
+
+def q_lev_blocked_pairs(spark, sf_dir):
+    """Blocked similarity join with min-length-normalized Levenshtein
+    (LevenshteinEditDistance.java semantics; blocking replaces the cartesian,
+    §2.3). Output: every cross-side pair sharing a block key, sim >= 0.5."""
+    from .functions.spark_sims import lev_min_norm_col
+
+    names = _doc_names(spark, sf_dir)
+    s = names.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("src_doc_id"),
+        F.col("name").alias("s_name"), "block_key",
+    )
+    d = names.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("dst_doc_id"),
+        F.col("name").alias("d_name"), "block_key",
+    )
+    return (
+        s.join(d, "block_key")
+        .withColumn("lev_sim", F.round(lev_min_norm_col(F.col("s_name"), F.col("d_name")), 6))
+        .filter(F.col("lev_sim") >= 0.5)
+        .select("src_doc_id", "dst_doc_id", "lev_sim")
+    )
+
+
+SQL_LEV_PAIRS = f"""
+WITH names AS ({_SQL_DOC_NAMES}),
+s AS (SELECT doc_id AS src_doc_id, name AS s_name, block_key FROM names WHERE doc_id % 2 = 0),
+d AS (SELECT doc_id AS dst_doc_id, name AS d_name, block_key FROM names WHERE doc_id % 2 = 1),
+p AS (
+  SELECT src_doc_id, dst_doc_id,
+         CASE WHEN length(s_name) = 0 AND length(d_name) = 0 THEN 1.0
+              WHEN least(length(s_name), length(d_name)) = 0 THEN 0.0
+              ELSE 1.0 - least(levenshtein(s_name, d_name),
+                               least(length(s_name), length(d_name)))::DOUBLE
+                         / least(length(s_name), length(d_name))
+         END AS raw_sim
+  FROM s JOIN d USING (block_key)
+)
+SELECT src_doc_id, dst_doc_id, ROUND(raw_sim, 6) AS lev_sim
+FROM p WHERE ROUND(raw_sim, 6) >= 0.5
+"""
+
+
+def q_qgram_jaccard_pairs(spark, sf_dir):
+    """Character 3-gram Jaccard on blocked pairs (QGramSim, §2.7)."""
+    from .functions.spark_sims import jaccard_col, shingles_col
+
+    names = _doc_names(spark, sf_dir)
+    s = names.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("src_doc_id"),
+        shingles_col(F.col("name"), 3).alias("s_sh"), "block_key",
+    )
+    d = names.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("dst_doc_id"),
+        shingles_col(F.col("name"), 3).alias("d_sh"), "block_key",
+    )
+    return (
+        s.join(d, "block_key")
+        .withColumn("qgram_sim", F.round(jaccard_col(F.col("s_sh"), F.col("d_sh")), 6))
+        .filter(F.col("qgram_sim") >= 0.3)
+        .select("src_doc_id", "dst_doc_id", "qgram_sim")
+    )
+
+
+SQL_QGRAM = f"""
+WITH names AS ({_SQL_DOC_NAMES}),
+sh AS (
+  SELECT doc_id, block_key,
+         CASE WHEN length(name) = 0 THEN []::VARCHAR[]
+              WHEN length(name) < 3 THEN [name]
+              ELSE list_transform(range(1, length(name) - 1),
+                                  i -> substr(name, i::INT, 3))
+         END AS grams
+  FROM names
+),
+s AS (SELECT doc_id AS src_doc_id, grams AS s_sh, block_key FROM sh WHERE doc_id % 2 = 0),
+d AS (SELECT doc_id AS dst_doc_id, grams AS d_sh, block_key FROM sh WHERE doc_id % 2 = 1),
+p AS (
+  SELECT src_doc_id, dst_doc_id,
+         len(list_intersect(list_distinct(s_sh), list_distinct(d_sh)))::DOUBLE AS i_n,
+         len(list_distinct(list_concat(list_distinct(s_sh), list_distinct(d_sh))))::DOUBLE AS u_n
+  FROM s JOIN d USING (block_key)
+)
+SELECT src_doc_id, dst_doc_id,
+       ROUND(CASE WHEN u_n = 0 THEN 1.0 ELSE i_n / u_n END, 6) AS qgram_sim
+FROM p
+WHERE ROUND(CASE WHEN u_n = 0 THEN 1.0 ELSE i_n / u_n END, 6) >= 0.3
+"""
+
+
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """VMM semantics: corpus-level TF-IDF + sparse cosine on blocked pairs
+    (MultiWordsMatcher.java:103-176,469-479), fully JVM-side."""
+    d = load(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", F.explode(_doc_tokens(F.col("text"))).alias("term")
+    ).filter(F.length("term") > 0)
+    n_docs = d.count()
+    tf = docs.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = docs.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    w = tf.join(dfreq, "term").withColumn(
+        "w", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    names = _doc_names(spark, sf_dir).select("doc_id", "block_key")
+    s = names.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("src_doc_id"), "block_key"
+    )
+    dd = names.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("dst_doc_id"), "block_key"
+    )
+    pairs = s.join(dd, "block_key").select("src_doc_id", "dst_doc_id")
+    sw = w.select(F.col("doc_id").alias("src_doc_id"), "term", F.col("w").alias("sw"))
+    dw = w.select(F.col("doc_id").alias("dst_doc_id"), "term", F.col("w").alias("dw"))
+    dots = (
+        pairs.join(sw, "src_doc_id")
+        .join(dw, ["dst_doc_id", "term"])
+        .groupBy("src_doc_id", "dst_doc_id")
+        .agg(F.sum(F.col("sw") * F.col("dw")).alias("dot"))
+    )
+    sn = norms.select(F.col("doc_id").alias("src_doc_id"), F.col("nrm").alias("s_nrm"))
+    dn = norms.select(F.col("doc_id").alias("dst_doc_id"), F.col("nrm").alias("d_nrm"))
+    return (
+        dots.join(sn, "src_doc_id")
+        .join(dn, "dst_doc_id")
+        .withColumn("cosine", F.round(F.col("dot") / (F.col("s_nrm") * F.col("d_nrm")), 6))
+        .filter(F.col("cosine") >= 0.2)
+        .select("src_doc_id", "dst_doc_id", "cosine")
+    )
+
+
+SQL_TFIDF = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+),
+toks_f AS (SELECT * FROM toks WHERE length(term) > 0),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks_f GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks_f GROUP BY 1),
+n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n_docs / dfreq.df) AS w
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY 1),
+names AS ({_SQL_DOC_NAMES}),
+s AS (SELECT doc_id AS src_doc_id, block_key FROM names WHERE doc_id % 2 = 0),
+d AS (SELECT doc_id AS dst_doc_id, block_key FROM names WHERE doc_id % 2 = 1),
+pairs AS (SELECT src_doc_id, dst_doc_id FROM s JOIN d USING (block_key)),
+dots AS (
+  SELECT p.src_doc_id, p.dst_doc_id, SUM(ws.w * wd.w) AS dot
+  FROM pairs p
+  JOIN w ws ON ws.doc_id = p.src_doc_id
+  JOIN w wd ON wd.doc_id = p.dst_doc_id AND wd.term = ws.term
+  GROUP BY 1, 2
+)
+SELECT dots.src_doc_id, dots.dst_doc_id,
+       ROUND(dot / (ns.nrm * nd.nrm), 6) AS cosine
+FROM dots
+JOIN norms ns ON ns.doc_id = dots.src_doc_id
+JOIN norms nd ON nd.doc_id = dots.dst_doc_id
+WHERE ROUND(dot / (ns.nrm * nd.nrm), 6) >= 0.2
+"""
+
+
+def q_mutual_best_selection(spark, sf_dir):
+    """One mutual-best round over the TF-IDF pairs — the SQL-expressible core
+    of the greedy/stable-marriage 1-1 selection (scanWithBothConstraints,
+    §2.6)."""
+    pairs = q_tfidf_cosine_pairs(spark, sf_dir)
+    ws = Window.partitionBy("src_doc_id").orderBy(
+        F.desc("cosine"), F.asc("dst_doc_id")
+    )
+    wd = Window.partitionBy("dst_doc_id").orderBy(
+        F.desc("cosine"), F.asc("src_doc_id")
+    )
+    return (
+        pairs.withColumn("rs", F.row_number().over(ws))
+        .withColumn("rd", F.row_number().over(wd))
+        .filter((F.col("rs") == 1) & (F.col("rd") == 1))
+        .select("src_doc_id", "dst_doc_id", "cosine")
+    )
+
+
+SQL_MUTUAL_BEST = f"""
+WITH pairs AS ({SQL_TFIDF})
+SELECT src_doc_id, dst_doc_id, cosine FROM (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY src_doc_id ORDER BY cosine DESC, dst_doc_id ASC) AS rs,
+    ROW_NUMBER() OVER (PARTITION BY dst_doc_id ORDER BY cosine DESC, src_doc_id ASC) AS rd
+  FROM pairs
+) WHERE rs = 1 AND rd = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data-pipeline ops: dedup / similarity search / text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content fingerprint (hash-groupBy): canonical = min id."""
+    d = load(spark, sf_dir, "documents")
+    key = F.md5(F.array_join(F.slice(_doc_tokens(F.col("text")), 1, 5), " "))
+    return (
+        d.select("doc_id", key.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("dup_count") >= 1)
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1, 5), ' ')) AS fp,
+       COUNT(*) AS dup_count, MIN(doc_id) AS canonical_doc_id
+FROM documents GROUP BY 1 HAVING COUNT(*) >= 1
+"""
+
+
+def _minhash_sig_cols():
+    """8 minhash signature columns over the distinct token set, md5-derived
+    token hashes (engine-portable integers — exact parity with SQL)."""
+    toks = F.array_distinct(_doc_tokens(F.col("text")))
+    hs = F.transform(toks, lambda t: _md5int_col(t))
+    return [
+        F.array_min(
+            F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_P))
+        ).alias(f"sig{j}")
+        for j, (a, b) in enumerate(zip(MH_A, MH_B))
+    ]
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash + LSH near-dup candidates: 8 signatures, 4 bands x 2 rows;
+    docs sharing any band bucket are candidates (a < b). Deduplication for
+    a training-data pipeline at scale: the band join replaces all-pairs."""
+    d = load(spark, sf_dir, "documents")
+    sig = d.select("doc_id", *_minhash_sig_cols())
+    bands = None
+    for i in range(N_BANDS):
+        b = sig.select(
+            "doc_id",
+            F.lit(i).alias("band"),
+            F.concat_ws("-", F.col(f"sig{2*i}"), F.col(f"sig{2*i+1}")).alias("bkey"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", "bkey"
+    )
+    bb = bands.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
+    return (
+        a.join(bb, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def _sql_minhash_sigs() -> str:
+    sig_exprs = ",\n         ".join(
+        f"list_min(list_transform(toks, t -> ({a} * (('0x' || substr(md5(t),1,8))::BIGINT) + {b}) % {MH_P})) AS sig{j}"
+        for j, (a, b) in enumerate(zip(MH_A, MH_B))
+    )
+    return f"""
+  SELECT doc_id, {sig_exprs}
+  FROM (SELECT doc_id,
+               list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+        FROM documents)
+"""
+
+
+SQL_MINHASH = f"""
+WITH sig AS ({_sql_minhash_sigs()}),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {i} AS band, sig{2*i} || '-' || sig{2*i+1} AS bkey FROM sig"
+      for i in range(N_BANDS)
+  )}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-5 ANN baseline over the embedding column for
+    probe vectors (vec_id < 20): JVM-side zip_with/aggregate dot products —
+    no Python in the hot path. The scale path is LSH bucketing (next round)."""
+    from .functions.spark_sims import cosine_array_col
+
+    e = load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    cands = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+    scored = (
+        probes.crossJoin(cands)
+        .filter(F.col("probe_id") != F.col("cand_id"))
+        .withColumn("cosine", F.round(cosine_array_col(F.col("pe"), F.col("ce")), 6))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "cand_id", "cosine", F.col("rn").cast("int").alias("rnk"))
+    )
+
+
+SQL_EMBED_TOPK = """
+WITH p AS (
+  SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
+         ROUND(
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+                    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+           6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id <> b.vec_id
+)
+SELECT probe_id, cand_id, cosine, rnk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY cosine DESC, cand_id ASC) AS INT) AS rnk
+  FROM p
+) WHERE rnk <= 5
+"""
+
+
+def q_doc_stats(spark, sf_dir):
+    """Text-analysis: token counts, char counts, stopword ratio, fingerprint
+    (training-data quality scoring)."""
+    d = load(spark, sf_dir, "documents")
+    toks = _doc_tokens(F.col("text"))
+    n_toks = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(STOPWORDS))
+    )
+    return d.select(
+        "doc_id",
+        n_toks.cast("long").alias("n_tokens"),
+        F.length(F.trim(F.col("text"))).cast("long").alias("n_chars_trim"),
+        F.round(stop_hits.cast("double") / n_toks, 6).alias("stopword_ratio"),
+        F.md5(F.trim(F.col("text"))).alias("fingerprint"),
+    )
+
+
+SQL_DOC_STATS = f"""
+WITH t AS (
+  SELECT doc_id, trim(text) AS txt,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       length(txt)::BIGINT AS n_chars_trim,
+       ROUND(len(list_filter(toks, x -> x IN {STOPWORDS_SQL}))::DOUBLE / len(toks), 6)
+         AS stopword_ratio,
+       md5(txt) AS fingerprint
+FROM t
+"""
+
+
+def q_doc_quality(spark, sf_dir):
+    """Quality score: blend of length band, stopword presence and mean token
+    length (heuristic scorer for corpus filtering)."""
+    stats = q_doc_stats(spark, sf_dir)
+    score = (
+        F.when((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 200), 0.4)
+        .otherwise(0.1)
+        + F.when(
+            (F.col("stopword_ratio") >= 0.05) & (F.col("stopword_ratio") <= 0.5), 0.3
+        ).otherwise(0.0)
+        + F.when(
+            (F.col("n_chars_trim") / F.col("n_tokens") >= 3)
+            & (F.col("n_chars_trim") / F.col("n_tokens") <= 12),
+            0.3,
+        ).otherwise(0.0)
+    )
+    return stats.select("doc_id", F.round(score, 2).alias("quality"))
+
+
+SQL_DOC_QUALITY = f"""
+WITH stats AS ({SQL_DOC_STATS})
+SELECT doc_id,
+       ROUND(
+         (CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 0.4 ELSE 0.1 END)
+       + (CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.5 THEN 0.3 ELSE 0.0 END)
+       + (CASE WHEN n_chars_trim::DOUBLE / n_tokens BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END)
+       , 2) AS quality
+FROM stats
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "topk_orders_per_customer": q_topk_orders_per_customer,
+    "region_rollup": q_region_rollup,
+    "events_sessionize": q_events_sessionize,
+    "events_hourly": q_events_hourly,
+    "lev_blocked_pairs": q_lev_blocked_pairs,
+    "qgram_jaccard_pairs": q_qgram_jaccard_pairs,
+    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+    "mutual_best_selection": q_mutual_best_selection,
+    "dedup_exact": q_dedup_exact,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "embedding_topk": q_embedding_topk,
+    "doc_stats": q_doc_stats,
+    "doc_quality": q_doc_quality,
+}
+
+ORACLE_SQL = {
+    "pricing_summary": SQL_PRICING,
+    "top_revenue_orders": SQL_TOP_REVENUE,
+    "topk_orders_per_customer": SQL_TOPK_ORDERS,
+    "region_rollup": SQL_ROLLUP,
+    "events_sessionize": SQL_SESSIONIZE,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "lev_blocked_pairs": SQL_LEV_PAIRS,
+    "qgram_jaccard_pairs": SQL_QGRAM,
+    "tfidf_cosine_pairs": SQL_TFIDF,
+    "mutual_best_selection": SQL_MUTUAL_BEST,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "minhash_lsh_pairs": SQL_MINHASH,
+    "embedding_topk": SQL_EMBED_TOPK,
+    "doc_stats": SQL_DOC_STATS,
+    "doc_quality": SQL_DOC_QUALITY,
+}
