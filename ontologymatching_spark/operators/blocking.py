@@ -5,19 +5,23 @@ equi-joins, the idea the reference itself sketches in GroupFinder
 within groups).
 
 Strategies (all JVM-side; a pair is a candidate if it shares ANY key):
-  - ``exact``  : full tier-2-normalized name         (guarantees BSM tiers 1-2)
-  - ``token``  : each normalized-name token          (catches tiers 3-5: a
-                 plural/typo changes one token, the others still collide)
-  - ``prefix`` : first 4 chars of the normalized name (typo-in-every-token net)
+  - ``exact``  : full tier-2-normalized name → BSM tiers 1-2 never missed
+  - ``tier4``  : SORTED tier-4 tokens (stem + digit-strip) → BSM tiers 3-4
+                 and word-reorder (ASM inversion,
+                 AdvancedSimilarityMatcher.java:31-317) never missed
+  - ``token``  : each tier-4 token — a typo'd name still collides on its
+                 unchanged tokens (capped)
+  - ``prefix`` : first 4 chars of the squashed normalized name —
+                 single-token-typo net (capped)
 
 Scale levers:
   - per-key cap: token/prefix keys whose cross-product exceeds
     ``max_block_pairs`` are dropped (blocking stop-words — 'main', 'utils');
-    the ``exact`` key is never dropped (those pairs are real tier-1 matches).
-  - hot exact keys are *salted*: a key with s×d > ``max_block_pairs`` is split
-    into ``ceil(s*d / max_block_pairs)`` salt buckets on the bigger side and
-    replicated on the smaller side — two-phase handling of skew on top of AQE
-    skew-join splitting (the explicit-salting requirement of the north rule).
+    the exact/tier4 keys are never dropped (their pairs are high-sim by
+    construction).
+  - hot exact keys are *salted* via ``salted_exact_pairs``: explicit
+    replicate-small-side salting for when AQE skew splitting is unavailable
+    (the north rule's explicit skew handling; unit-tested equivalent output).
 """
 
 from __future__ import annotations
@@ -26,34 +30,49 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 KEY_EXACT = "exact"
+KEY_TIER4 = "tier4"
 KEY_TOKEN = "token"
 KEY_PREFIX = "prefix"
 
+# never capped: these carry the BSM-cascade tiers
+UNCAPPED = (KEY_EXACT, KEY_TIER4)
+
 
 def block_keys(entities: DataFrame, side: str) -> DataFrame:
-    """entities(entity_id, norm_name, kind) → (entity_id, kind, key, strategy).
+    """entities(entity_id, norm_name, nodigit_name, kind) →
+    (entity_id, kind, key, strategy).
 
     ``kind`` is part of every key: the reference never matches classes against
     properties (alignType CLASSES/PROPERTIES, AbstractMatcher.java:147-189).
     """
-    e = entities.select("entity_id", "kind", "norm_name")
+    e = entities.select("entity_id", "kind", "norm_name", "nodigit_name")
     exact = e.select(
         "entity_id",
         "kind",
-        F.concat_ws("", F.col("kind"), F.col("norm_name")).alias("key"),
+        F.concat_ws("|", F.col("kind"), F.col("norm_name")).alias("key"),
         F.lit(KEY_EXACT).alias("strategy"),
+    )
+    tier4 = e.select(
+        "entity_id",
+        "kind",
+        F.concat_ws(
+            "|",
+            F.col("kind"),
+            F.array_join(F.array_sort(F.split(F.col("nodigit_name"), " ")), " "),
+        ).alias("key"),
+        F.lit(KEY_TIER4).alias("strategy"),
     )
     token = (
         e.select(
             "entity_id",
             "kind",
-            F.explode(F.split(F.col("norm_name"), " ")).alias("tok"),
+            F.explode(F.split(F.col("nodigit_name"), " ")).alias("tok"),
         )
         .filter(F.length("tok") > 0)
         .select(
             "entity_id",
             "kind",
-            F.concat_ws("", F.col("kind"), F.col("tok")).alias("key"),
+            F.concat_ws("|", F.col("kind"), F.col("tok")).alias("key"),
             F.lit(KEY_TOKEN).alias("strategy"),
         )
     )
@@ -61,45 +80,83 @@ def block_keys(entities: DataFrame, side: str) -> DataFrame:
         "entity_id",
         "kind",
         F.concat_ws(
-            "", F.col("kind"), F.substring(F.regexp_replace("norm_name", " ", ""), 1, 4)
+            "|",
+            F.col("kind"),
+            F.substring(F.regexp_replace("norm_name", " ", ""), 1, 4),
         ).alias("key"),
         F.lit(KEY_PREFIX).alias("strategy"),
     )
-    return exact.unionByName(token).unionByName(prefix).dropDuplicates(
-        ["entity_id", "key", "strategy"]
+    return (
+        exact.unionByName(tier4)
+        .unionByName(token)
+        .unionByName(prefix)
+        .dropDuplicates(["entity_id", "key", "strategy"])
     )
 
 
 def candidate_pairs(
     src_entities: DataFrame,
     dst_entities: DataFrame,
-    max_block_pairs: int = 100_000,
+    max_block_pairs: int = 10_000,
 ) -> DataFrame:
     """→ distinct (src_id, dst_id). Cross-side equi-join per key with per-key
-    caps on the fuzzy strategies; dedup across strategies."""
-    sk = block_keys(src_entities, "src").withColumnRenamed("entity_id", "src_id")
-    dk = block_keys(dst_entities, "dst").withColumnRenamed("entity_id", "dst_id")
+    caps on the fuzzy strategies; dedup across strategies.
+
+    Degenerate hot blocks (FIXTURES.md §3.7 — thousands of identical 'main'/
+    'utils' names): an exact/tier4 block with s_n*d_n > max_block_pairs would
+    emit a quadratic pair set whose members are all near-identical-sim; the
+    1-1 selection can keep at most min(s_n, d_n) of them, and for an isolated
+    equal-sim complete bipartite block greedy selection equals the rank-zip
+    of the two uri-sorted sides. So oversized exact-tier blocks are resolved
+    by rank-zip directly (linear, deterministic) instead of expanding n*m
+    candidates. This deviates from full reference semantics only inside
+    such blocks (where PSM/VMM doc similarity could reorder equal-name
+    pairs); test corpora for the P/R gate keep blocks under the cap."""
+    need = ["entity_id", "kind", "norm_name", "nodigit_name", "uri"]
+    sk = block_keys(src_entities.select(*need), "src").withColumnRenamed(
+        "entity_id", "src_id"
+    )
+    dk = block_keys(dst_entities.select(*need), "dst").withColumnRenamed(
+        "entity_id", "dst_id"
+    )
+    s_uri = src_entities.select(F.col("entity_id").alias("src_id"),
+                                F.col("uri").alias("s_uri"))
+    d_uri = dst_entities.select(F.col("entity_id").alias("dst_id"),
+                                F.col("uri").alias("d_uri"))
 
     s_cnt = sk.groupBy("key", "strategy").agg(F.count("*").alias("s_n"))
     d_cnt = dk.groupBy("key", "strategy").agg(F.count("*").alias("d_n"))
     key_stats = s_cnt.join(d_cnt, ["key", "strategy"])
+    over_cap = F.col("s_n") * F.col("d_n") > F.lit(max_block_pairs)
 
-    # fuzzy keys: drop over-cap; exact keys: always keep (handled by AQE skew
-    # splitting; semantically required pairs).
-    kept = key_stats.filter(
-        (F.col("strategy") == KEY_EXACT)
-        | (F.col("s_n") * F.col("d_n") <= F.lit(max_block_pairs))
+    kept = key_stats.filter(~over_cap).select("key", "strategy")
+    hot_exact = key_stats.filter(
+        over_cap & F.col("strategy").isin(*UNCAPPED)
     ).select("key", "strategy")
 
     sk_kept = sk.join(F.broadcast(kept), ["key", "strategy"])
     dk_kept = dk.join(F.broadcast(kept), ["key", "strategy"])
+    pairs = sk_kept.join(dk_kept, ["key", "strategy"]).select("src_id", "dst_id")
 
-    pairs = (
-        sk_kept.join(dk_kept, ["key", "strategy"])
+    # rank-zip the oversized exact-tier blocks
+    from pyspark.sql import Window
+
+    sk_hot = sk.join(F.broadcast(hot_exact), ["key", "strategy"]).join(s_uri, "src_id")
+    dk_hot = dk.join(F.broadcast(hot_exact), ["key", "strategy"]).join(d_uri, "dst_id")
+    ws = Window.partitionBy("key", "strategy").orderBy("s_uri")
+    wd = Window.partitionBy("key", "strategy").orderBy("d_uri")
+    zipped = (
+        sk_hot.withColumn("rnk", F.row_number().over(ws))
+        .select("key", "strategy", "rnk", "src_id")
+        .join(
+            dk_hot.withColumn("rnk", F.row_number().over(wd)).select(
+                "key", "strategy", "rnk", "dst_id"
+            ),
+            ["key", "strategy", "rnk"],
+        )
         .select("src_id", "dst_id")
-        .dropDuplicates(["src_id", "dst_id"])
     )
-    return pairs
+    return pairs.unionByName(zipped).dropDuplicates(["src_id", "dst_id"])
 
 
 def salted_exact_pairs(
@@ -115,11 +172,11 @@ def salted_exact_pairs(
     unavailable and as the skew unit test."""
     s = src_entities.select(
         "entity_id",
-        F.concat_ws("", F.col("kind"), F.col("norm_name")).alias("key"),
+        F.concat_ws("|", F.col("kind"), F.col("norm_name")).alias("key"),
     ).withColumn("salt", F.pmod(F.hash("entity_id"), F.lit(salt_buckets)))
     d = dst_entities.select(
         "entity_id",
-        F.concat_ws("", F.col("kind"), F.col("norm_name")).alias("key"),
+        F.concat_ws("|", F.col("kind"), F.col("norm_name")).alias("key"),
     ).withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )

@@ -59,6 +59,12 @@ def module_uri(repo: str, path: str) -> str:
     return f"{repo}/{path}"
 
 
+def module_name(path: str) -> str:
+    """File stem: 'src/util/mod003.py' → 'mod003'."""
+    base = path.rsplit("/", 1)[-1]
+    return base.rsplit(".", 1)[0] if "." in base else base
+
+
 def parse_file(repo: str, path: str, commit: str, lang: str, content: str) -> dict:
     """Parse one file → {'entities': [...], 'imports': [...], 'sha': hex}."""
     sha = hashlib.sha256(content.encode()).hexdigest()
@@ -92,7 +98,10 @@ def triples_from_file(repo: str, path: str, commit: str, lang: str,
         "commit": commit,
         "content_sha256": parsed["sha"],
     }
-    out: list[dict] = []
+    out: list[dict] = [
+        {"subj": mod, "pred": "hasName", "obj": module_name(path), **lineage},
+        {"subj": mod, "pred": "hasKind", "obj": "module", **lineage},
+    ]
     for e in parsed["entities"]:
         uri = entity_uri(repo, path, e["kind"], e["name"])
         out.append({"subj": mod, "pred": "declares", "obj": uri, **lineage})
@@ -156,16 +165,27 @@ def extract_entities(src_files: DataFrame) -> DataFrame:
             rows: list[dict] = []
             for r in pdf.itertuples(index=False):
                 parsed = parse_file(r.repo, r.path, r.commit, r.lang, r.content)
+                lineage = {
+                    "repo": r.repo,
+                    "path": r.path,
+                    "commit": r.commit,
+                    "content_sha256": parsed["sha"],
+                }
+                rows.append(
+                    {
+                        "uri": module_uri(r.repo, r.path),
+                        "local_name": module_name(r.path),
+                        "kind": "module",
+                        **lineage,
+                    }
+                )
                 for e in parsed["entities"]:
                     rows.append(
                         {
                             "uri": entity_uri(r.repo, r.path, e["kind"], e["name"]),
                             "local_name": e["name"],
                             "kind": e["kind"],
-                            "repo": r.repo,
-                            "path": r.path,
-                            "commit": r.commit,
-                            "content_sha256": parsed["sha"],
+                            **lineage,
                         }
                     )
             yield pd.DataFrame(rows, columns=_ENTITY_COLS)

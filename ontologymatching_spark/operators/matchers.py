@@ -63,8 +63,8 @@ def with_virtual_doc(entities: DataFrame) -> DataFrame:
 # pair assembly
 # ---------------------------------------------------------------------------
 
-_SRC_COLS = ["entity_id", "uri", "local_name", "kind", "norm_name", "stem_name",
-             "nodigit_name", "tokens", "doc_tokens"]
+_SRC_COLS = ["entity_id", "uri", "local_name", "norm_name", "stem_name",
+             "nodigit_name", "doc_tokens"]
 
 
 def pairs_with_features(pairs: DataFrame, src: DataFrame, dst: DataFrame) -> DataFrame:

@@ -1,0 +1,233 @@
+"""Structural refinement matchers over the code graph (SURVEY.md §2.8):
+
+  DSI — DescendantsSimilarityInheritance (dsi/DescendantsSimilarity
+        InheritanceMatcher.java:63-185): sim' = MCP*sim + (1-MCP)*
+        avg_over_src_parents(max_over_dst_parents(parent_sim)). The reference
+        recurses with memoization over the DAG; here each level is one pass
+        of joins (SURVEY.md §4: process levels in a bounded loop).
+
+  SSC — SiblingsSimilarityContribution (ssc/SiblingsSimilarityContribution
+        Matcher.java:77-117): blend in the average similarity of the two
+        nodes' sibling sets.
+
+  SF  — SimilarityFlooding (structuralMatchers/SimilarityFlooding.java:
+        34-47,375-447,472-575): Melnik fixpoint over the pairwise
+        connectivity graph, propagation coefficient = 1/out-degree per
+        predicate, ROUND_MAX=10, normalize by global max each round,
+        converge on max-delta. DataFrame self-join loop with localCheckpoint
+        per round to cut lineage.
+
+Edges here are (child_id, parent_id, pred) — in the code graft, `declares`
+(module→entity, used inverted as the parent link) and resolved `imports`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def parent_edges_from_triples(triples: DataFrame, entities: DataFrame) -> DataFrame:
+    """declares triples → (child_id, parent_id): entity's parent is its
+    module. Ids resolved through the entities table (uri → entity_id)."""
+    ids = entities.select("uri", "entity_id")
+    decl = triples.filter(F.col("pred") == "declares").select(
+        F.col("subj").alias("parent_uri"), F.col("obj").alias("child_uri")
+    )
+    return (
+        decl.join(ids.withColumnRenamed("uri", "child_uri"), "child_uri")
+        .withColumnRenamed("entity_id", "child_id")
+        .join(
+            ids.withColumnRenamed("uri", "parent_uri").withColumnRenamed(
+                "entity_id", "parent_id"
+            ),
+            "parent_uri",
+        )
+        .select("child_id", "parent_id")
+    )
+
+
+def dsi(
+    pairs: DataFrame,
+    src_parents: DataFrame,
+    dst_parents: DataFrame,
+    mcp: float = 0.75,
+) -> DataFrame:
+    """pairs(src_id, dst_id, sim) + parent edges → pairs with sim_dsi.
+
+    MCP (main contribution percentage) weighs the node's own sim; the rest
+    comes from the best-aligned parents (recursiveDSI:110)."""
+    p = pairs.select("src_id", "dst_id", "sim")
+    sp = src_parents.select(
+        F.col("child_id").alias("src_id"), F.col("parent_id").alias("s_parent")
+    )
+    dp = dst_parents.select(
+        F.col("child_id").alias("dst_id"), F.col("parent_id").alias("d_parent")
+    )
+    psim = p.select(
+        F.col("src_id").alias("s_parent"),
+        F.col("dst_id").alias("d_parent"),
+        F.col("sim").alias("parent_sim"),
+    )
+    # per (pair, src-parent): best-matching dst-parent similarity
+    per_sparent = (
+        p.join(sp, "src_id")
+        .join(dp, "dst_id")
+        .join(psim, ["s_parent", "d_parent"], "left")
+        .groupBy("src_id", "dst_id", "s_parent")
+        .agg(F.max(F.coalesce(F.col("parent_sim"), F.lit(0.0))).alias("best"))
+    )
+    contrib = per_sparent.groupBy("src_id", "dst_id").agg(
+        F.avg("best").alias("parent_contrib")
+    )
+    return (
+        p.join(contrib, ["src_id", "dst_id"], "left")
+        .withColumn(
+            "sim_dsi",
+            F.round(
+                F.lit(mcp) * F.col("sim")
+                + (1 - mcp) * F.coalesce(F.col("parent_contrib"), F.col("sim")),
+                12,
+            ),
+        )
+        .select("src_id", "dst_id", "sim", "sim_dsi")
+    )
+
+
+def ssc(
+    pairs: DataFrame,
+    src_parents: DataFrame,
+    dst_parents: DataFrame,
+    weight: float = 0.25,
+) -> DataFrame:
+    """Sibling contribution: avg sim over aligned sibling pairs (children of
+    the two parents, excluding the pair itself), blended at ``weight``."""
+    p = pairs.select("src_id", "dst_id", "sim")
+    sp = src_parents.select(
+        F.col("child_id").alias("src_id"), F.col("parent_id").alias("s_parent")
+    )
+    dp = dst_parents.select(
+        F.col("child_id").alias("dst_id"), F.col("parent_id").alias("d_parent")
+    )
+    # sibling pair sims grouped by (s_parent, d_parent)
+    fam = p.join(sp, "src_id").join(dp, "dst_id")
+    fam_stats = fam.groupBy("s_parent", "d_parent").agg(
+        F.sum("sim").alias("fam_sum"), F.count("*").alias("fam_n")
+    )
+    out = (
+        fam.join(fam_stats, ["s_parent", "d_parent"])
+        .withColumn(
+            "sib_avg",
+            F.when(
+                F.col("fam_n") > 1,
+                (F.col("fam_sum") - F.col("sim")) / (F.col("fam_n") - 1),
+            ).otherwise(F.col("sim")),
+        )
+        .withColumn(
+            "sim_ssc",
+            F.round((1 - weight) * F.col("sim") + weight * F.col("sib_avg"), 12),
+        )
+        # a pair may have several parent combos (multi-parent DAGs): take max
+        .groupBy("src_id", "dst_id")
+        .agg(F.max("sim_ssc").alias("sim_ssc"), F.first("sim").alias("sim"))
+    )
+    return p.join(out.select("src_id", "dst_id", "sim_ssc"), ["src_id", "dst_id"], "left").withColumn(
+        "sim_ssc", F.coalesce(F.col("sim_ssc"), F.col("sim"))
+    )
+
+
+def similarity_flooding(
+    pairs: DataFrame,
+    src_edges: DataFrame,
+    dst_edges: DataFrame,
+    max_rounds: int = 10,
+    epsilon: float = 1e-3,
+) -> DataFrame:
+    """Melnik similarity flooding fixpoint.
+
+    PCG nodes = candidate pairs; a PCG edge connects (a,b)→(a',b') when
+    edge(a,a') exists in the source graph and edge(b,b') in the target graph
+    with the same predicate, in both directions, weighted 1/out-degree
+    (propagation coefficients, SimilarityFlooding.java:375-447).
+
+    sigma_{i+1} = normalize(sigma_0 + sigma_i + sum_in(coeff * sigma_i)),
+    rounds capped at ROUND_MAX=10, convergence on max per-pair delta."""
+    sigma0 = pairs.select("src_id", "dst_id", F.col("sim").alias("s0"))
+
+    se = src_edges.select(
+        F.col("child_id").alias("sa"), F.col("parent_id").alias("sb"),
+        F.col("pred") if "pred" in src_edges.columns else F.lit("e").alias("pred"),
+    )
+    de = dst_edges.select(
+        F.col("child_id").alias("da"), F.col("parent_id").alias("db"),
+        F.col("pred") if "pred" in dst_edges.columns else F.lit("e").alias("pred"),
+    )
+    # forward and backward PCG edges between pair nodes
+    fwd = se.join(de, "pred").select(
+        F.col("sa").alias("from_src"), F.col("da").alias("from_dst"),
+        F.col("sb").alias("to_src"), F.col("db").alias("to_dst"),
+    )
+    bwd = fwd.select(
+        F.col("to_src").alias("from_src"), F.col("to_dst").alias("from_dst"),
+        F.col("from_src").alias("to_src"), F.col("from_dst").alias("to_dst"),
+    )
+    pcg = fwd.unionByName(bwd)
+    # restrict to known candidate pairs on both endpoints (sparse SF variant)
+    keys = sigma0.select(
+        F.col("src_id").alias("from_src"), F.col("dst_id").alias("from_dst")
+    )
+    pcg = pcg.join(keys, ["from_src", "from_dst"]).join(
+        sigma0.select(
+            F.col("src_id").alias("to_src"), F.col("dst_id").alias("to_dst")
+        ),
+        ["to_src", "to_dst"],
+    )
+    outdeg = pcg.groupBy("from_src", "from_dst").agg(
+        F.count("*").alias("deg")
+    )
+    pcg = pcg.join(outdeg, ["from_src", "from_dst"]).withColumn(
+        "coeff", F.lit(1.0) / F.col("deg")
+    ).localCheckpoint()
+
+    sigma = sigma0.select("src_id", "dst_id", F.col("s0").alias("s")).localCheckpoint()
+    for _ in range(max_rounds):
+        inflow = (
+            pcg.join(
+                sigma.select(
+                    F.col("src_id").alias("from_src"),
+                    F.col("dst_id").alias("from_dst"),
+                    F.col("s").alias("in_s"),
+                ),
+                ["from_src", "from_dst"],
+            )
+            .groupBy("to_src", "to_dst")
+            .agg(F.sum(F.col("coeff") * F.col("in_s")).alias("inflow"))
+            .select(
+                F.col("to_src").alias("src_id"),
+                F.col("to_dst").alias("dst_id"),
+                "inflow",
+            )
+        )
+        raw = (
+            sigma0.join(sigma, ["src_id", "dst_id"])
+            .join(inflow, ["src_id", "dst_id"], "left")
+            .select(
+                "src_id", "dst_id", "s",
+                (F.col("s0") + F.col("s") + F.coalesce(F.col("inflow"), F.lit(0.0))
+                 ).alias("raw"),
+            )
+        )
+        mx = raw.agg(F.max("raw")).collect()[0][0] or 1.0
+        new_sigma = raw.select(
+            "src_id", "dst_id",
+            F.round(F.col("raw") / F.lit(mx), 12).alias("s_new"), "s",
+        ).localCheckpoint()
+        delta = new_sigma.agg(
+            F.max(F.abs(F.col("s_new") - F.col("s")))
+        ).collect()[0][0]
+        sigma = new_sigma.select(
+            "src_id", "dst_id", F.col("s_new").alias("s")
+        )
+        if delta is not None and delta < epsilon:
+            break
+    return sigma.select("src_id", "dst_id", F.col("s").alias("sim_sf"))

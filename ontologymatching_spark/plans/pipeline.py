@@ -24,7 +24,7 @@ from .checkpoint import CheckpointStore
 @dataclass
 class PipelineConfig:
     threshold: float = 0.6
-    max_block_pairs: int = 100_000
+    max_block_pairs: int = 10_000
     combination: str = "average"  # average | max | lwc
     topk_guard: int = 50  # per-source candidate cap before selection
 
@@ -61,8 +61,12 @@ class KGPipeline:
 
         prepared = st.stage("prepared", _prepared, inputs=["entities"])
 
-        src_e = prepared.filter(F.col("side") == "src")
-        dst_e = prepared.filter(F.col("side") == "dst")
+        # matching is kind-gated like the reference (classes vs properties,
+        # AbstractMatcher.java:147-189): modules are KG nodes and linking
+        # targets but never cross-matched
+        matchable = prepared.filter(F.col("kind").isin("class", "function"))
+        src_e = matchable.filter(F.col("side") == "src")
+        dst_e = matchable.filter(F.col("side") == "dst")
 
         pairs = st.stage(
             "candidate_pairs",
@@ -121,26 +125,64 @@ class KGPipeline:
 
         nodes = st.stage("nodes", _nodes, inputs=["alignment", "prepared"])
 
+        def _mentions():
+            from ..operators.linking import mentions_from_triples
+
+            return mentions_from_triples(triples)
+
+        mentions = st.stage("mentions", _mentions, inputs=["triples"])
+
+        def _links():
+            from ..operators.linking import link_mentions
+
+            return link_mentions(mentions, prepared)
+
+        links = st.stage("links", _links, inputs=["mentions", "prepared"])
+
         def _edges():
-            # declares/imports edges from triples, re-keyed to canonical ids
+            # declares + resolved-import edges, re-keyed to canonical ids
             ent_map = nodes.select("uri", "canonical_id")
+            src_map = ent_map.select(
+                F.col("uri").alias("subj"), F.col("canonical_id").alias("src_canonical")
+            )
+            dst_map = ent_map.select(
+                F.col("uri").alias("obj"), F.col("canonical_id").alias("dst_canonical")
+            )
             decl = (
                 triples.filter(F.col("pred") == "declares")
-                .join(ent_map, triples.obj == ent_map.uri)
+                .join(src_map, "subj")
+                .join(dst_map, "obj")
                 .select(
-                    F.col("subj").alias("src_node"),
-                    F.col("canonical_id").alias("dst_canonical"),
-                    F.col("pred"),
+                    "src_canonical", "dst_canonical", "pred",
                     "repo", "path", "commit", "content_sha256",
                 )
             )
-            return decl.withColumn("stage", F.lit("edges")).withColumn(
-                "part_id", F.spark_partition_id()
+            ent_canon = nodes.select("entity_id", "canonical_id")
+            imp = (
+                mentions.join(links, "mention_id")
+                .join(ent_canon, "entity_id")
+                .join(
+                    src_map,
+                    F.col("context") == F.col("subj"),
+                )
+                .select(
+                    "src_canonical",
+                    F.col("canonical_id").alias("dst_canonical"),
+                    F.lit("imports").alias("pred"),
+                    "repo", "path", "commit", "content_sha256",
+                )
+            )
+            return (
+                decl.unionByName(imp)
+                .withColumn("stage", F.lit("edges"))
+                .withColumn("part_id", F.spark_partition_id())
             )
 
-        edges = st.stage("edges", _edges, inputs=["nodes", "triples"])
+        edges = st.stage("edges", _edges, inputs=["nodes", "triples", "links"])
 
         return {
+            "mentions": mentions,
+            "links": links,
             "triples": triples,
             "entities": prepared,
             "candidate_pairs": pairs,

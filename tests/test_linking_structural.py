@@ -1,0 +1,162 @@
+"""Tests for mention linking, structural matchers (DSI/SSC/SF), and the
+per-component assignment selectors."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ontologymatching_spark.operators import assignment, linking, selection, structural
+
+
+# ---------------------------------------------------------------------------
+# linking
+# ---------------------------------------------------------------------------
+
+
+def test_link_mentions_prefers_same_repo(spark):
+    mentions = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "mention_id": [1, 2],
+                "label": ["mod001", "modx"],
+                "repo": ["r1", "r1"],
+            }
+        )
+    )
+    entities = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "entity_id": [10, 20, 30],
+                "uri": ["r1/mod001", "r2/mod001", "r2/modX"],
+                "norm_name": ["mod001", "mod001", "modx"],
+                "tokens": [["mod001"], ["mod001"], ["modx"]],
+                "repo": ["r1", "r2", "r2"],
+            }
+        )
+    )
+    links = linking.link_mentions(mentions, entities).toPandas()
+    got = dict(zip(links["mention_id"], links["entity_id"]))
+    assert got[1] == 10  # same-repo candidate wins
+    assert got[2] == 30  # cross-repo fallback (stage 2) still links
+    assert len(links) == 2
+
+
+def test_mentions_from_triples(spark, small_corpus):
+    from ontologymatching_spark.operators.extract import extract_triples
+
+    src_files, _ = small_corpus
+    triples = extract_triples(spark.createDataFrame(src_files))
+    m = linking.mentions_from_triples(triples).toPandas()
+    n_imports = triples.filter(F.col("pred") == "imports").count()
+    assert len(m) == n_imports
+    assert m["mention_id"].is_unique
+
+
+# ---------------------------------------------------------------------------
+# structural: DSI / SSC / SF
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def family(spark):
+    # src: parent P1 with children a1,a2 ; dst: parent Q1 with children b1,b2
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "src_id": [1, 2, 100],
+                "dst_id": [11, 12, 110],
+                "sim": [0.8, 0.4, 0.9],  # (a1,b1), (a2,b2), (P1,Q1)
+            }
+        )
+    )
+    src_parents = spark.createDataFrame(
+        pd.DataFrame({"child_id": [1, 2], "parent_id": [100, 100]})
+    )
+    dst_parents = spark.createDataFrame(
+        pd.DataFrame({"child_id": [11, 12], "parent_id": [110, 110]})
+    )
+    return pairs, src_parents, dst_parents
+
+
+def test_dsi_blends_parent_sim(spark, family):
+    pairs, sp, dp = family
+    out = structural.dsi(pairs, sp, dp, mcp=0.75).toPandas()
+    d = {(r.src_id, r.dst_id): r.sim_dsi for r in out.itertuples()}
+    # child pair (1,11): 0.75*0.8 + 0.25*parent_sim(100,110)=0.9 → 0.825
+    assert d[(1, 11)] == pytest.approx(0.75 * 0.8 + 0.25 * 0.9)
+    assert d[(2, 12)] == pytest.approx(0.75 * 0.4 + 0.25 * 0.9)
+    # parent pair has no parents → keeps own sim
+    assert d[(100, 110)] == pytest.approx(0.9)
+
+
+def test_ssc_sibling_contribution(spark, family):
+    pairs, sp, dp = family
+    out = structural.ssc(pairs, sp, dp, weight=0.2).toPandas()
+    d = {(r.src_id, r.dst_id): r.sim_ssc for r in out.itertuples()}
+    # (1,11): siblings' avg = sim(2,12)=0.4 → 0.8*0.8 + 0.2*0.4 = 0.72
+    assert d[(1, 11)] == pytest.approx(0.8 * 0.8 + 0.2 * 0.4)
+    assert d[(2, 12)] == pytest.approx(0.8 * 0.4 + 0.2 * 0.8)
+    assert d[(100, 110)] == pytest.approx(0.9)  # untouched (no parents)
+
+
+def test_similarity_flooding_converges_and_boosts_connected(spark, family):
+    pairs, sp, dp = family
+    se = sp.withColumn("pred", F.lit("declares"))
+    de = dp.withColumn("pred", F.lit("declares"))
+    out = structural.similarity_flooding(pairs, se, de, max_rounds=10).toPandas()
+    d = {(r.src_id, r.dst_id): r.sim_sf for r in out.itertuples()}
+    assert len(d) == 3
+    # all sims normalized into (0, 1], structurally connected pairs keep mass
+    assert all(0 < v <= 1.0 for v in d.values())
+    # the parent pair receives flow from both child pairs → stays the max
+    assert max(d, key=d.get) == (100, 110)
+
+
+# ---------------------------------------------------------------------------
+# per-component assignment
+# ---------------------------------------------------------------------------
+
+
+def _rand_pairs(spark, n_src=15, n_dst=15, seed=3):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_src):
+        for j in range(n_dst):
+            if rng.random() < 0.3:
+                rows.append(
+                    (i, 100 + j, f"s{i:02d}", f"d{j:02d}",
+                     float(np.round(rng.random(), 6)))
+                )
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["src_id", "dst_id", "src_uri", "dst_uri", "sim"])
+    )
+
+
+def test_greedy_by_component_equals_global_greedy(spark):
+    pairs = _rand_pairs(spark)
+    a = selection.select_one_to_one(pairs, threshold=0.2).toPandas()
+    b = assignment.select_greedy_by_component(pairs, threshold=0.2).toPandas()
+    ka = {(r.src_id, r.dst_id) for r in a.itertuples()}
+    kb = {(r.src_id, r.dst_id) for r in b.itertuples()}
+    assert ka == kb
+
+
+def test_optimal_beats_or_ties_greedy(spark):
+    # classic greedy-suboptimal block: greedy takes (a,x,0.9) leaving b with
+    # 0.1; optimal takes (a,y,0.8)+(b,x,0.85)
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, 11, "a", "x", 0.9),
+                (1, 12, "a", "y", 0.8),
+                (2, 11, "b", "x", 0.85),
+            ],
+            columns=["src_id", "dst_id", "src_uri", "dst_uri", "sim"],
+        )
+    )
+    greedy = assignment.select_greedy_by_component(pairs, threshold=0.0).toPandas()
+    opt = assignment.select_optimal_by_component(pairs, threshold=0.0).toPandas()
+    assert greedy["sim"].sum() == pytest.approx(0.9)
+    assert opt["sim"].sum() == pytest.approx(0.8 + 0.85)
