@@ -753,6 +753,386 @@ FROM stats
 
 
 # ---------------------------------------------------------------------------
+# batch 2: matcher-composition, structural and ANN operators
+# ---------------------------------------------------------------------------
+
+
+def q_asm_sorted_token_match(spark, sf_dir):
+    """ASM compound-word inversion (AdvancedSimilarityMatcher.java:31-317):
+    sorted-token equality key over part names, BSM-style tier scores
+    (exact=1.0, token-reorder=0.95). Even partkeys = source side."""
+    p = load(spark, sf_dir, "part")
+    key = F.array_join(F.array_sort(F.split(F.col("p_name"), " ")), " ")
+    s = p.filter(F.col("p_partkey") % 2 == 0).select(
+        F.col("p_partkey").alias("src_part"), F.col("p_name").alias("s_name"),
+        key.alias("k"),
+    )
+    d = p.filter(F.col("p_partkey") % 2 == 1).select(
+        F.col("p_partkey").alias("dst_part"), F.col("p_name").alias("d_name"),
+        key.alias("k"),
+    )
+    return s.join(d, "k").select(
+        "src_part", "dst_part",
+        F.when(F.col("s_name") == F.col("d_name"), 1.0).otherwise(0.95).alias("sim"),
+    )
+
+
+SQL_ASM = """
+WITH p AS (
+  SELECT p_partkey, p_name,
+         array_to_string(list_sort(string_split(p_name, ' ')), ' ') AS k
+  FROM part
+)
+SELECT s.p_partkey AS src_part, d.p_partkey AS dst_part,
+       CASE WHEN s.p_name = d.p_name THEN 1.0 ELSE 0.95 END AS sim
+FROM p s JOIN p d ON s.k = d.k AND s.p_partkey % 2 = 0 AND d.p_partkey % 2 = 1
+"""
+
+
+def q_jaro_winkler_pairs(spark, sf_dir):
+    """Jaro-Winkler string similarity (JaroWinklerSim.java) on single-token
+    doc names — Arrow-vectorized pandas UDF; DuckDB's builtin is the oracle
+    (boost-threshold Winkler variant; verified token-level agreement).
+    Blocked on the token's first letter."""
+    from .functions.spark_sims import jaro_winkler_boosted_udf
+
+    d0 = load(spark, sf_dir, "documents")
+    names = d0.select(
+        "doc_id", F.element_at(_doc_tokens(F.col("text")), 1).alias("name")
+    ).withColumn("bk", F.substring("name", 1, 1))
+    s = names.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("src_doc_id"), F.col("name").alias("s_name"), "bk"
+    )
+    d = names.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("dst_doc_id"), F.col("name").alias("d_name"), "bk"
+    )
+    return (
+        s.join(d, "bk")
+        .withColumn(
+            "jw_sim",
+            F.round(jaro_winkler_boosted_udf(F.col("s_name"), F.col("d_name")), 6),
+        )
+        .filter(F.col("jw_sim") >= 0.75)
+        .select("src_doc_id", "dst_doc_id", "jw_sim")
+    )
+
+
+SQL_JW = """
+WITH names AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+')[1] AS name,
+         substr(string_split_regex(trim(text), '\\s+')[1], 1, 1) AS bk
+  FROM documents
+),
+s AS (SELECT doc_id AS src_doc_id, name AS s_name, bk FROM names WHERE doc_id % 2 = 0),
+d AS (SELECT doc_id AS dst_doc_id, name AS d_name, bk FROM names WHERE doc_id % 2 = 1)
+SELECT src_doc_id, dst_doc_id, ROUND(jaro_winkler_similarity(s_name, d_name), 6) AS jw_sim
+FROM s JOIN d USING (bk)
+WHERE ROUND(jaro_winkler_similarity(s_name, d_name), 6) >= 0.75
+"""
+
+
+def q_lwc_combine(spark, sf_dir):
+    """LWC combination (CombinationMatcher.java:93-199): full-outer join of
+    two matcher pair-tables (levenshtein + q-gram) + average with missing
+    treated as 0 — the AVERAGECOMB mode."""
+    lev = q_lev_blocked_pairs(spark, sf_dir)
+    qg = q_qgram_jaccard_pairs(spark, sf_dir)
+    j = lev.join(qg, ["src_doc_id", "dst_doc_id"], "full_outer")
+    # floor-truncate instead of round: the mean of two 6-decimal values can
+    # land exactly on a .5 rounding boundary where engines disagree; floor of
+    # the identical IEEE double is engine-portable
+    avg = (
+        F.coalesce(F.col("lev_sim"), F.lit(0.0))
+        + F.coalesce(F.col("qgram_sim"), F.lit(0.0))
+    ) / 2
+    return j.select(
+        "src_doc_id", "dst_doc_id",
+        (F.floor(avg * 1e6) / 1e6).alias("sim_comb"),
+    )
+
+
+SQL_LWC = f"""
+WITH lev AS ({SQL_LEV_PAIRS}), qg AS ({SQL_QGRAM})
+SELECT COALESCE(lev.src_doc_id, qg.src_doc_id) AS src_doc_id,
+       COALESCE(lev.dst_doc_id, qg.dst_doc_id) AS dst_doc_id,
+       floor((COALESCE(lev_sim, 0.0) + COALESCE(qgram_sim, 0.0)) / 2 * 1e6) / 1e6 AS sim_comb
+FROM lev FULL OUTER JOIN qg
+  ON lev.src_doc_id = qg.src_doc_id AND lev.dst_doc_id = qg.dst_doc_id
+"""
+
+
+def q_completion_anti_join(spark, sf_dir):
+    """Completion mode (AbstractMatcher.java:683-717): keep only candidate
+    pairs whose source AND target are not already mapped by the prior
+    (mutual-best) alignment — two anti-joins."""
+    pairs = q_tfidf_cosine_pairs(spark, sf_dir)
+    prior = q_mutual_best_selection(spark, sf_dir)
+    return (
+        pairs.join(prior.select("src_doc_id").distinct(), "src_doc_id", "left_anti")
+        .join(prior.select("dst_doc_id").distinct(), "dst_doc_id", "left_anti")
+        .select("src_doc_id", "dst_doc_id", "cosine")
+    )
+
+
+SQL_COMPLETION = f"""
+WITH pairs AS ({SQL_TFIDF}), prior AS ({SQL_MUTUAL_BEST})
+SELECT src_doc_id, dst_doc_id, cosine FROM pairs p
+WHERE NOT EXISTS (SELECT 1 FROM prior x WHERE x.src_doc_id = p.src_doc_id)
+  AND NOT EXISTS (SELECT 1 FROM prior x WHERE x.dst_doc_id = p.dst_doc_id)
+"""
+
+
+def q_local_confidence(spark, sf_dir):
+    """LocalConfidenceQuality (qualityEvaluation/metrics/LocalConfidence
+    Quality.java:32-119): per-source row confidence = 1 - avg(non-best sims)
+    — the weights of the quality-weighted LWC."""
+    lev = q_lev_blocked_pairs(spark, sf_dir)
+    agg = lev.groupBy("src_doc_id").agg(
+        F.sum("lev_sim").alias("s"), F.max("lev_sim").alias("m"),
+        F.count("*").alias("n"),
+    )
+    return agg.select(
+        "src_doc_id",
+        F.round(
+            F.when(F.col("n") > 1, 1.0 - (F.col("s") - F.col("m")) / (F.col("n") - 1))
+            .otherwise(F.lit(1.0)),
+            6,
+        ).alias("quality"),
+        F.col("n").alias("n_candidates"),
+    )
+
+
+SQL_LOCAL_CONF = f"""
+WITH lev AS ({SQL_LEV_PAIRS})
+SELECT src_doc_id,
+       ROUND(CASE WHEN COUNT(*) > 1
+             THEN 1.0 - (SUM(lev_sim) - MAX(lev_sim)) / (COUNT(*) - 1)
+             ELSE 1.0 END, 6) AS quality,
+       COUNT(*) AS n_candidates
+FROM lev GROUP BY src_doc_id
+"""
+
+
+def q_pr_evaluation(spark, sf_dir):
+    """ReferenceEvaluator (referenceAlignment/ReferenceEvaluator.java:90-108):
+    P/R/F of the mutual-best selection against a derived gold (exact-name doc
+    pairs across sides) — correct = URI-pair equality join."""
+    names = _doc_names(spark, sf_dir)
+    s = names.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("src_doc_id"), F.col("name").alias("n")
+    )
+    d = names.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("dst_doc_id"), F.col("name").alias("n")
+    )
+    gold = s.join(d, "n").select("src_doc_id", "dst_doc_id")
+    ev = q_mutual_best_selection(spark, sf_dir).select("src_doc_id", "dst_doc_id")
+    n_gold = gold.count()
+    n_eval = ev.count()
+    n_corr = ev.join(gold, ["src_doc_id", "dst_doc_id"]).count()
+    p = n_corr / n_eval if n_eval else 0.0
+    r = n_corr / n_gold if n_gold else 0.0
+    f1 = 2 * p * r / (p + r) if (p + r) else 0.0
+    return spark.createDataFrame(
+        [(n_eval, n_gold, n_corr, round(p, 6), round(r, 6), round(f1, 6))],
+        "n_eval long, n_gold long, n_correct long, precision double, recall double, fmeasure double",
+    )
+
+
+SQL_PR_EVAL = f"""
+WITH names AS ({_SQL_DOC_NAMES}),
+gold AS (
+  SELECT s.doc_id AS src_doc_id, d.doc_id AS dst_doc_id
+  FROM names s JOIN names d ON s.name = d.name
+  WHERE s.doc_id % 2 = 0 AND d.doc_id % 2 = 1
+),
+ev AS (SELECT src_doc_id, dst_doc_id FROM ({SQL_MUTUAL_BEST})),
+c AS (SELECT COUNT(*) AS n_correct FROM ev JOIN gold USING (src_doc_id, dst_doc_id)),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM ev) AS n_eval,
+         (SELECT COUNT(*) FROM gold) AS n_gold,
+         (SELECT n_correct FROM c) AS n_correct
+)
+SELECT n_eval, n_gold, n_correct,
+       ROUND(CASE WHEN n_eval > 0 THEN n_correct::DOUBLE / n_eval ELSE 0 END, 6) AS precision,
+       ROUND(CASE WHEN n_gold > 0 THEN n_correct::DOUBLE / n_gold ELSE 0 END, 6) AS recall,
+       ROUND(CASE WHEN n_correct > 0
+             THEN 2.0 * (n_correct::DOUBLE / n_eval) * (n_correct::DOUBLE / n_gold)
+                  / (n_correct::DOUBLE / n_eval + n_correct::DOUBLE / n_gold)
+             ELSE 0 END, 6) AS fmeasure
+FROM stats
+"""
+
+
+def q_mediating_join(spark, sf_dir):
+    """MediatingMatcher (mediatingMatcher/MediatingMatcher.java:29-66):
+    compose two alignments through a mediating ontology — here customer→
+    nation and supplier→nation bridge into customer↔supplier with
+    sim = least(sim1, sim2)."""
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    a2b = c.select(
+        "c_custkey", F.col("c_nationkey").alias("bridge"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.abs(F.col("c_acctbal")) / 1000), 6
+                ).alias("sim_c"),
+    )
+    c2b = s.select(
+        "s_suppkey", F.col("s_nationkey").alias("bridge"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.abs(F.col("s_acctbal")) / 1000), 6
+                ).alias("sim_s"),
+    )
+    return a2b.join(c2b, "bridge").select(
+        "c_custkey", "s_suppkey",
+        F.least(F.col("sim_c"), F.col("sim_s")).alias("sim_bridge"),
+    )
+
+
+SQL_MEDIATING = """
+WITH a2b AS (
+  SELECT c_custkey, c_nationkey AS bridge,
+         ROUND(1.0 / (1.0 + abs(c_acctbal) / 1000), 6) AS sim_c
+  FROM customer
+),
+c2b AS (
+  SELECT s_suppkey, s_nationkey AS bridge,
+         ROUND(1.0 / (1.0 + abs(s_acctbal) / 1000), 6) AS sim_s
+  FROM supplier
+)
+SELECT c_custkey, s_suppkey, least(sim_c, sim_s) AS sim_bridge
+FROM a2b JOIN c2b USING (bridge)
+"""
+
+
+def q_simhash_dedup(spark, sf_dir):
+    """SimHash document fingerprint (16-bit, md5-derived per-token bits) +
+    duplicate groups: docs sharing a simhash. The bit-majority construction
+    is the standard Charikar simhash; exact integer parity with SQL."""
+    d = load(spark, sf_dir, "documents")
+    hs_df = d.select(
+        "doc_id",
+        F.transform(_doc_tokens(F.col("text")), lambda t: _md5int_col(t)).alias("hs"),
+    ).cache()
+    bit_cols = [
+        F.when(
+            F.aggregate(
+                F.col("hs"), F.lit(0),
+                lambda acc, h: acc
+                + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
+            )
+            > 0,
+            F.lit(1 << b),
+        ).otherwise(F.lit(0))
+        for b in range(16)
+    ]
+    sh = hs_df.select(
+        "doc_id", sum(bit_cols[1:], bit_cols[0]).cast("long").alias("simhash")
+    )
+    return sh.groupBy("simhash").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_doc_id")
+    )
+
+
+def _sql_simhash_bits() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+    return bits
+
+
+SQL_SIMHASH = f"""
+WITH hsv AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(trim(text), '\\s+'),
+                        t -> ('0x' || substr(md5(t),1,8))::BIGINT) AS hs
+  FROM documents
+),
+sh AS (SELECT doc_id, CAST({_sql_simhash_bits()} AS BIGINT) AS simhash FROM hsv)
+SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc_id
+FROM sh GROUP BY simhash
+"""
+
+
+# random-hyperplane LSH planes: deterministic md5-derived ints, inlined as
+# literals on BOTH engines (no RNG, engine-portable)
+import hashlib as _hashlib
+
+N_PLANES = 8
+EMB_DIM = 64
+
+
+def _plane(j: int) -> list[int]:
+    return [
+        int(_hashlib.md5(f"plane{j}_{i}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+        for i in range(EMB_DIM)
+    ]
+
+
+PLANES = [_plane(j) for j in range(N_PLANES)]
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucket assignment over the embedding column —
+    the scale path for similarity search (bucket-join replaces brute force;
+    companion to q_embedding_topk). Planes are md5-derived integer literals,
+    identical in the SQL oracle."""
+    e = load(spark, sf_dir, "embeddings")
+    bit_cols = []
+    for j, plane in enumerate(PLANES):
+        pl = F.array(*[F.lit(float(v)) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), pl, lambda x, p: x.cast("double") * p),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        bit_cols.append(F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    return e.select(
+        "vec_id", sum(bit_cols[1:], bit_cols[0]).cast("long").alias("bucket")
+    )
+
+
+def _sql_lsh_bucket() -> str:
+    parts = []
+    for j, plane in enumerate(PLANES):
+        lit = "[" + ", ".join(f"{v}.0" for v in plane) + "]"
+        parts.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+            f"i -> embedding[i]::DOUBLE * ({lit})[i])) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(parts)
+
+
+SQL_ANN_LSH = f"""
+SELECT vec_id, CAST({_sql_lsh_bucket()} AS BIGINT) AS bucket FROM embeddings
+"""
+
+
+def q_events_pivot(spark, sf_dir):
+    """Pivot: per-user event-type counts (pivot/unpivot family, §2.4)."""
+    ev = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=types)
+        .select(
+            "user_id",
+            *[F.col(t).cast("long").alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+SQL_EVENTS_PIVOT = """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -772,6 +1152,16 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "doc_stats": q_doc_stats,
     "doc_quality": q_doc_quality,
+    "asm_sorted_token_match": q_asm_sorted_token_match,
+    "jaro_winkler_pairs": q_jaro_winkler_pairs,
+    "lwc_combine": q_lwc_combine,
+    "completion_anti_join": q_completion_anti_join,
+    "local_confidence": q_local_confidence,
+    "pr_evaluation": q_pr_evaluation,
+    "mediating_join": q_mediating_join,
+    "simhash_dedup": q_simhash_dedup,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "events_pivot": q_events_pivot,
 }
 
 ORACLE_SQL = {
@@ -790,4 +1180,14 @@ ORACLE_SQL = {
     "embedding_topk": SQL_EMBED_TOPK,
     "doc_stats": SQL_DOC_STATS,
     "doc_quality": SQL_DOC_QUALITY,
+    "asm_sorted_token_match": SQL_ASM,
+    "jaro_winkler_pairs": SQL_JW,
+    "lwc_combine": SQL_LWC,
+    "completion_anti_join": SQL_COMPLETION,
+    "local_confidence": SQL_LOCAL_CONF,
+    "pr_evaluation": SQL_PR_EVAL,
+    "mediating_join": SQL_MEDIATING,
+    "simhash_dedup": SQL_SIMHASH,
+    "ann_lsh_buckets": SQL_ANN_LSH,
+    "events_pivot": SQL_EVENTS_PIVOT,
 }

@@ -171,6 +171,22 @@ def jaro_winkler(s1: str, s2: str, scale: float = 0.1) -> float:
     return j + prefix * scale * (1 - j)
 
 
+def jaro_winkler_boosted(s1: str, s2: str, scale: float = 0.1,
+                         boost_threshold: float = 0.7) -> float:
+    """Winkler's original boost-threshold variant: the prefix bonus applies
+    only when jaro > 0.7 (this is the variant DuckDB/rapidfuzz implement —
+    used where an external oracle computes JW)."""
+    j = jaro(s1, s2)
+    if j <= boost_threshold:
+        return j
+    prefix = 0
+    for a, b in zip(s1 or "", s2 or ""):
+        if a != b or prefix >= 4:
+            break
+        prefix += 1
+    return j + prefix * scale * (1 - j)
+
+
 def token_jaccard(t1: list[str], t2: list[str]) -> float:
     a, b = set(t1), set(t2)
     if not a and not b:

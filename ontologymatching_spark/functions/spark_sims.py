@@ -145,3 +145,12 @@ def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(
         [simkernels.jaro_winkler(x, y) for x, y in zip(a, b)], dtype="float64"
     )
+
+
+@F.pandas_udf(DoubleType())
+def jaro_winkler_boosted_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Boost-threshold Jaro-Winkler (DuckDB/rapidfuzz-compatible variant)."""
+    return pd.Series(
+        [simkernels.jaro_winkler_boosted(x, y) for x, y in zip(a, b)],
+        dtype="float64",
+    )
