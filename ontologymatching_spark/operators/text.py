@@ -1,0 +1,121 @@
+"""Text-analysis operators for a training-data pipeline (all JVM-side
+Column expressions unless noted): language ID (n-gram/stopword heuristic),
+quality scoring, token counting (whitespace + BPE-ish regex), document
+fingerprinting (polynomial rolling hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles (public common-word lists)
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "that", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "du", "que", "pour"],
+    "de": ["der", "die", "und", "den", "von", "das", "mit", "dem", "des", "ist"],
+}
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def lang_scores_col(text: Column) -> Column:
+    """map<lang, double> of stopword-hit ratios — the n-gram-profile
+    heuristic reduced to unigram profiles (JVM-side, no UDF)."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    entries = []
+    for lang, words in LANG_PROFILES.items():
+        hits = F.size(F.filter(toks, lambda t: t.isin(words)))
+        entries.append(F.lit(lang))
+        entries.append(
+            F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+        )
+    return F.create_map(*entries)
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds lang_guess + lang_score: argmax over the profile map with
+    deterministic tie-break (score desc, lang asc); 'und' when no profile
+    scores above zero."""
+    scores = lang_scores_col(F.col(text_col))
+    df = df.withColumn("_scores", scores)
+    arr = F.map_entries(F.col("_scores"))
+    best = F.array_sort(
+        arr, lambda a, b: F.when(a.value > b.value, -1)
+        .when(a.value < b.value, 1)
+        .when(a.key < b.key, -1)
+        .when(a.key > b.key, 1)
+        .otherwise(0),
+    )[0]
+    return (
+        df.withColumn(
+            "lang_guess",
+            F.when(best.value > 0, best.key).otherwise(F.lit("und")),
+        )
+        .withColumn("lang_score", F.round(best.value, 6))
+        .drop("_scores")
+    )
+
+
+# BPE-ish token regex: word pieces, numbers, punctuation runs — the shape of
+# a byte-pair pretokenizer (public GPT-2-style pattern, simplified to ASCII)
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """whitespace token count + BPE-ish piece count + char count."""
+    t = F.col(text_col)
+    ws = F.size(F.split(F.trim(t), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), 0))
+    return df.withColumn("n_ws_tokens", ws.cast("long")).withColumn(
+        "n_bpe_tokens", bpe.cast("long")
+    ).withColumn("n_chars", F.length(t).cast("long"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality in [0,1]: length band + stopword band + mean word
+    length band + non-alnum ratio penalty (corpus-filtering scorer)."""
+    t = F.trim(F.col(text_col))
+    toks = F.split(t, r"\s+")
+    n = F.size(toks)
+    stop_ratio = F.size(
+        F.filter(toks, lambda x: x.isin(LANG_PROFILES["en"]))
+    ).cast("double") / F.greatest(n, F.lit(1))
+    mean_len = F.length(t).cast("double") / F.greatest(n, F.lit(1))
+    non_alnum = (
+        F.length(F.regexp_replace(t, r"[a-zA-Z0-9\s]", "")).cast("double")
+        / F.greatest(F.length(t), F.lit(1))
+    )
+    score = (
+        F.when((n >= 10) & (n <= 1000), 0.35).otherwise(0.1)
+        + F.when((stop_ratio >= 0.02) & (stop_ratio <= 0.6), 0.25).otherwise(0.0)
+        + F.when((mean_len >= 3) & (mean_len <= 12), 0.25).otherwise(0.0)
+        + F.when(non_alnum <= 0.1, 0.15).otherwise(0.0)
+    )
+    return df.withColumn("quality", F.round(score, 4))
+
+
+FP_P = 1_000_000_007
+FP_B = 131
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive polynomial rolling hash over tokens:
+    fp = sum(b^i * h(tok_i)) mod p with md5-derived token ints — a content
+    fingerprint that is cheap to compare/dedup on and engine-portable
+    (same construction as the minhash/simhash md5 integers)."""
+    toks = tokens_col(F.col(text_col))
+    hs = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    fp = F.aggregate(
+        hs,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * FP_B + F.pmod(h, F.lit(FP_P))) % FP_P,
+    )
+    return df.withColumn("fingerprint64", fp)

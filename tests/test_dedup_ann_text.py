@@ -1,0 +1,178 @@
+"""Tests: dedup family, ANN (brute force + LSH recall), text analysis,
+multimodal plumbing, streaming ingest."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ontologymatching_spark.operators import ann, dedup, multimodal, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    # plant exact + near duplicates with known ids
+    d0 = base.filter(F.col("doc_id") == 0).select(F.col("text").alias("t")).first()["t"]
+    extra = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [100001, 100002, 100003],
+                "text": [
+                    d0,                      # exact dup of doc 0
+                    d0 + " tail",            # near dup of doc 0
+                    "zzz completely unique standalone document qqq",
+                ],
+            }
+        )
+    )
+    return base.unionByName(extra)
+
+
+def test_exact_dedup(spark, docs):
+    out = dedup.exact_dedup(docs).filter(F.col("n_docs") > 1).toPandas()
+    clusters = {tuple(r.doc_ids) for r in out.itertuples()}
+    assert any(0 in c and 100001 in c for c in clusters)
+    # canonical is min id
+    for r in out.itertuples():
+        assert r.canonical_doc_id == min(r.doc_ids)
+
+
+def test_minhash_lsh_finds_neardup(spark, docs):
+    pairs = dedup.minhash_lsh(docs).toPandas()
+    got = {(r.doc_a, r.doc_b) for r in pairs.itertuples()}
+    assert (0, 100001) in got  # exact dup certainly collides
+    assert (0, 100002) in got  # near dup (one appended token)
+    assert all(p[0] < p[1] for p in got)
+
+
+def test_simhash_exact_dups_equal(spark, docs):
+    sh = dedup.simhash64(docs).toPandas()
+    m = dict(zip(sh["doc_id"], sh["simhash"]))
+    assert m[0] == m[100001]
+    # near dup within small hamming distance
+    ham = bin(int(m[0]) ^ int(m[100002])).count("1")
+    assert ham <= 8
+    # unique doc far away
+    ham_u = bin(int(m[0]) ^ int(m[100003])).count("1")
+    assert ham_u > 8
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, min_sim=0.5).toPandas()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs.itertuples()}
+    assert got.get((0, 100001)) == 1.0
+    assert (0, 100002) in got
+
+
+def test_ann_lsh_recall(spark):
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    probes = vecs.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    cands = vecs.select(F.col("vec_id").alias("cand_id"), "embedding")
+    exact = ann.brute_force_topk(probes, cands, k=5)
+    # this synthetic embedding table is weakly clustered (top-5 neighbor
+    # cosine ~0.3), so use coarse buckets (4 planes) and 4 tables
+    approx_all = ann.lsh_topk(vecs, k=5, n_planes=4, n_tables=4)
+    approx = approx_all.filter(F.col("probe_id") < 30)
+    r = ann.recall_at_k(approx, exact, k=5)
+    assert r >= 0.2, f"LSH recall@5 too low: {r}"
+    # recall grows with table count (the LSH quality knob)
+    approx1 = ann.lsh_topk(vecs, k=5, n_planes=4, n_tables=1).filter(
+        F.col("probe_id") < 30
+    )
+    assert ann.recall_at_k(approx1, exact, k=5) <= r + 1e-9
+    # brute force is self-consistent: every probe has exactly 5 neighbors
+    cnt = exact.groupBy("probe_id").count().toPandas()
+    assert set(cnt["count"]) == {5}
+
+
+def test_embedding_neardup_self(spark):
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # duplicate a vector under a new id → must be found at cosine 1.0
+    dup = vecs.filter(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    out = dedup.embedding_neardup(vecs.unionByName(dup), min_cosine=0.999)
+    got = {(r.doc_a, r.doc_b) for r in out.toPandas().itertuples()}
+    assert (7, 1_000_007) in got
+
+
+def test_lang_id_and_quality(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the cat and the dog sat in the house with the mouse",
+                    "el perro y la casa de los gatos en la calle por la noche",
+                    "qwerty zxcvb 12345",
+                ],
+            }
+        )
+    )
+    out = text.lang_id(df).toPandas().set_index("doc_id")
+    assert out.loc[1, "lang_guess"] == "en"
+    assert out.loc[2, "lang_guess"] == "es"
+    assert out.loc[3, "lang_guess"] == "und"
+
+    q = text.quality_score(df).toPandas().set_index("doc_id")
+    assert q.loc[1, "quality"] > q.loc[3, "quality"]
+
+    tc = text.token_counts(df).toPandas().set_index("doc_id")
+    assert tc.loc[1, "n_ws_tokens"] == 12
+    assert tc.loc[3, "n_bpe_tokens"] == 3
+
+    fp = text.fingerprint(df).toPandas()
+    assert fp["fingerprint64"].nunique() == 3
+    # order sensitivity
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["dog the cat"]})
+    )
+    df3 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["cat the dog"]})
+    )
+    f2 = text.fingerprint(df2).first()["fingerprint64"]
+    f3 = text.fingerprint(df3).first()["fingerprint64"]
+    assert f2 != f3
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media(spark, n=30)
+    feats = multimodal.extract_features(media, dim=8, fake_decode=True).toPandas()
+    assert len(feats) == 30
+    assert set(feats["feat_dim"]) == {8}
+    assert feats["payload_sha256"].str.len().eq(64).all()
+    # real decode path is stubbed
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        multimodal.extract_features(media, dim=8, fake_decode=False).count()
+    # frame sampling plan explodes video rows JVM-side
+    plan = multimodal.frame_sample_plan(media, every_ms=10_000).toPandas()
+    assert (plan["frame_ts_ms"] % 10_000 == 0).all()
+    n_videos = media.filter(F.col("kind") == "video").count()
+    assert plan["media_id"].nunique() == n_videos
+
+
+def test_streaming_ingest(spark, tmp_path, small_corpus):
+    from ontologymatching_spark.streaming import ingest
+
+    src_files, _ = small_corpus
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    spark.createDataFrame(src_files).write.parquet(src_dir)
+    ingest.ingest_available_now(spark, src_dir, out_dir, ck_dir)
+    got = spark.read.parquet(out_dir)
+    from ontologymatching_spark.operators.extract import extract_triples
+
+    want = extract_triples(spark.createDataFrame(src_files))
+    assert got.count() == want.count()
+    # exactly-once: re-running the drained stream appends nothing
+    ingest.ingest_available_now(spark, src_dir, out_dir, ck_dir)
+    assert spark.read.parquet(out_dir).count() == want.count()
