@@ -160,3 +160,17 @@ def test_optimal_beats_or_ties_greedy(spark):
     opt = assignment.select_optimal_by_component(pairs, threshold=0.0).toPandas()
     assert greedy["sim"].sum() == pytest.approx(0.9)
     assert opt["sim"].sum() == pytest.approx(0.8 + 0.85)
+
+
+def test_iism_parent_and_sibling_boost(spark, family):
+    from ontologymatching_spark.operators import iism as iism_mod
+
+    pairs, sp, dp = family
+    out = iism_mod.iism(pairs, sp, dp, parent_thr=0.6, boost=0.2, rounds=1)
+    d = {(r.src_id, r.dst_id): r.sim_iism for r in out.toPandas().itertuples()}
+    # (1,11): parents (100,110) aligned at 0.9>=0.6 → 0.8+0.2*0.2 = 0.84
+    assert d[(1, 11)] == pytest.approx(0.84)
+    # (2,12): same parent boost: 0.4+0.2*0.6 = 0.52
+    assert d[(2, 12)] == pytest.approx(0.52)
+    # parent pair has no parents → unchanged
+    assert d[(100, 110)] == pytest.approx(0.9)
