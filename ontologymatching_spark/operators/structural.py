@@ -69,16 +69,19 @@ def dsi(
         F.col("dst_id").alias("d_parent"),
         F.col("sim").alias("parent_sim"),
     )
-    # per (pair, src-parent): best-matching dst-parent similarity
+    # per (pair, src-parent): best-matching dst-parent similarity; a parent
+    # with NO aligned counterpart in the matrix stays NULL (neutral) rather
+    # than 0 — in our kind-gated matrix module parents are often absent, and
+    # the reference's recursion simply has no cell to read there
     per_sparent = (
         p.join(sp, "src_id")
         .join(dp, "dst_id")
         .join(psim, ["s_parent", "d_parent"], "left")
         .groupBy("src_id", "dst_id", "s_parent")
-        .agg(F.max(F.coalesce(F.col("parent_sim"), F.lit(0.0))).alias("best"))
+        .agg(F.max(F.col("parent_sim")).alias("best"))
     )
     contrib = per_sparent.groupBy("src_id", "dst_id").agg(
-        F.avg("best").alias("parent_contrib")
+        F.avg("best").alias("parent_contrib")  # avg ignores NULLs
     )
     return (
         p.join(contrib, ["src_id", "dst_id"], "left")

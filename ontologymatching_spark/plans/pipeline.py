@@ -27,6 +27,11 @@ class PipelineConfig:
     max_block_pairs: int = 10_000
     combination: str = "average"  # average | max | lwc
     topk_guard: int = 50  # per-source candidate cap before selection
+    # optional DSI structural refinement between combine and select
+    # (SURVEY.md §7.9 boost stage; off by default — the oracle models the
+    # base ensemble)
+    structural_boost: bool = False
+    dsi_mcp: float = 0.75
 
 
 class KGPipeline:
@@ -100,6 +105,37 @@ class KGPipeline:
             )
 
         scored = st.stage("scored_pairs", _scored, inputs=["candidate_pairs"])
+
+        if cfg.structural_boost:
+
+            def _boosted():
+                from ..operators.structural import (
+                    dsi, parent_edges_from_triples,
+                )
+
+                parents = parent_edges_from_triples(triples, prepared)
+                src_ids = src_e.select("entity_id")
+                sp = parents.join(
+                    src_ids, parents.child_id == src_ids.entity_id, "left_semi"
+                )
+                dp = parents.join(
+                    dst_e.select("entity_id"),
+                    parents.child_id == F.col("entity_id"), "left_semi",
+                )
+                boosted = dsi(
+                    scored.select("src_id", "dst_id", "sim"), sp, dp,
+                    mcp=cfg.dsi_mcp,
+                )
+                return scored.drop("sim").join(
+                    boosted.select(
+                        "src_id", "dst_id", F.col("sim_dsi").alias("sim")
+                    ),
+                    ["src_id", "dst_id"],
+                )
+
+            scored = st.stage(
+                "scored_boosted", _boosted, inputs=["scored_pairs", "triples"]
+            )
 
         def _aligned():
             # guard: cap candidates per source before the iterative selection

@@ -83,3 +83,21 @@ def test_mid_pipeline_restart(spark, small_corpus, e2e):
         store.invalidate(st)
     out2 = KGPipeline(spark, store).run(sf)
     assert out2["alignment"].count() == n_before
+
+
+def test_structural_boost_pipeline(spark, small_corpus):
+    """Optional DSI boost stage runs end-to-end and keeps a valid 1-1
+    alignment (rows-only check — the oracle models the base ensemble)."""
+    import tempfile
+
+    from ontologymatching_spark.plans.pipeline import PipelineConfig
+
+    src_files, _ = small_corpus
+    out = KGPipeline(
+        spark,
+        CheckpointStore(spark, tempfile.mkdtemp(prefix="kg_boost_")),
+        PipelineConfig(structural_boost=True),
+    ).run(spark.createDataFrame(src_files))
+    a = out["alignment"].toPandas()
+    assert len(a) > 0
+    assert a["src_id"].is_unique and a["dst_id"].is_unique
