@@ -1133,6 +1133,93 @@ FROM events GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# batch 3: canonicalization, as-of, rescale
+# ---------------------------------------------------------------------------
+
+
+def q_connected_components(spark, sf_dir):
+    """Hash-min connected-components canonicalization (the north rule's
+    iterative DataFrame self-join stage) over the mutual-best alignment
+    graph; oracle = DuckDB recursive CTE computing the same min-label
+    fixpoint. Output: (entity, component_id)."""
+    from .operators.components import connected_components
+
+    edges = q_mutual_best_selection(spark, sf_dir).select(
+        F.col("src_doc_id").alias("src_id"), F.col("dst_doc_id").alias("dst_id")
+    )
+    return connected_components(edges).select(
+        F.col("entity_id").alias("entity"), F.col("component_id")
+    )
+
+
+SQL_CC = f"""
+WITH RECURSIVE mb AS ({SQL_MUTUAL_BEST}),
+edges AS (
+  SELECT src_doc_id AS a, dst_doc_id AS b FROM mb
+  UNION ALL SELECT dst_doc_id, src_doc_id FROM mb
+),
+verts AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM verts
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+)
+SELECT node AS entity, MIN(label) AS component_id FROM reach GROUP BY node
+"""
+
+
+def q_events_asof_error(spark, sf_dir):
+    """As-of join (no native Spark operator — expressed as a running
+    conditional max window, SURVEY 'common OLAP patterns'): for each event,
+    the timestamp of the user's most recent PRIOR 'error' event."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_err = F.max(
+        F.when(F.col("event_type") == "error", F.col("ts"))
+    ).over(w)
+    return ev.select(
+        "event_id", "user_id", "event_type",
+        last_err.alias("last_error_ts"),
+    )
+
+
+SQL_ASOF = """
+SELECT event_id, user_id, event_type,
+       MAX(CASE WHEN event_type = 'error' THEN ts END) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ) AS last_error_ts
+FROM events
+"""
+
+
+def q_sigmoid_rescale(spark, sf_dir):
+    """Sigmoid rescale of similarities (LWC sigmoid-average input,
+    CombinationMatcher.java:151-153)."""
+    from .functions.spark_sims import sigmoid_col
+
+    lev = q_lev_blocked_pairs(spark, sf_dir)
+    return lev.select(
+        "src_doc_id", "dst_doc_id",
+        F.round(sigmoid_col(F.col("lev_sim"), k=10.0, c=0.5), 6).alias(
+            "sim_sigmoid"
+        ),
+    )
+
+
+SQL_SIGMOID = f"""
+WITH lev AS ({SQL_LEV_PAIRS})
+SELECT src_doc_id, dst_doc_id,
+       ROUND(1.0 / (1.0 + exp(-10.0 * (lev_sim - 0.5))), 6) AS sim_sigmoid
+FROM lev
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1162,6 +1249,9 @@ QUERIES = {
     "simhash_dedup": q_simhash_dedup,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "events_pivot": q_events_pivot,
+    "connected_components": q_connected_components,
+    "events_asof_error": q_events_asof_error,
+    "sigmoid_rescale": q_sigmoid_rescale,
 }
 
 ORACLE_SQL = {
@@ -1190,4 +1280,7 @@ ORACLE_SQL = {
     "simhash_dedup": SQL_SIMHASH,
     "ann_lsh_buckets": SQL_ANN_LSH,
     "events_pivot": SQL_EVENTS_PIVOT,
+    "connected_components": SQL_CC,
+    "events_asof_error": SQL_ASOF,
+    "sigmoid_rescale": SQL_SIGMOID,
 }
