@@ -35,7 +35,7 @@ def run_kg_pipeline(spark) -> dict[str, float]:
     from ontologymatching_spark.plans.checkpoint import CheckpointStore
     from ontologymatching_spark.plans.pipeline import KGPipeline
 
-    src_files, _ = generate_corpus(n_repos=40, files_per_repo=15, seed=42)
+    src_files, _ = generate_corpus(n_repos=100, files_per_repo=20, seed=42)
     sf = spark.createDataFrame(src_files).repartition(32).cache()
     sf.count()
     t0 = time.time()

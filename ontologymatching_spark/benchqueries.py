@@ -865,8 +865,8 @@ def q_completion_anti_join(spark, sf_dir):
     """Completion mode (AbstractMatcher.java:683-717): keep only candidate
     pairs whose source AND target are not already mapped by the prior
     (mutual-best) alignment — two anti-joins."""
-    pairs = q_tfidf_cosine_pairs(spark, sf_dir)
-    prior = q_mutual_best_selection(spark, sf_dir)
+    pairs = q_tfidf_cosine_pairs(spark, sf_dir).cache()
+    prior = q_mutual_best_selection(spark, sf_dir).cache()
     return (
         pairs.join(prior.select("src_doc_id").distinct(), "src_doc_id", "left_anti")
         .join(prior.select("dst_doc_id").distinct(), "dst_doc_id", "left_anti")
@@ -924,8 +924,8 @@ def q_pr_evaluation(spark, sf_dir):
     d = names.filter(F.col("doc_id") % 2 == 1).select(
         F.col("doc_id").alias("dst_doc_id"), F.col("name").alias("n")
     )
-    gold = s.join(d, "n").select("src_doc_id", "dst_doc_id")
-    ev = q_mutual_best_selection(spark, sf_dir).select("src_doc_id", "dst_doc_id")
+    gold = s.join(d, "n").select("src_doc_id", "dst_doc_id").cache()
+    ev = q_mutual_best_selection(spark, sf_dir).select("src_doc_id", "dst_doc_id").cache()
     n_gold = gold.count()
     n_eval = ev.count()
     n_corr = ev.join(gold, ["src_doc_id", "dst_doc_id"]).count()
