@@ -60,6 +60,11 @@ class CheckpointStore:
         succeeds, so a killed write never looks complete."""
         if not force and self.is_complete(name):
             return self.read(name)
+        # crash injection for the kill-and-restart resume test
+        # (FIXTURES.md §3.9): fail BEFORE computing this stage, simulating a
+        # job killed between stage k and k+1
+        if os.environ.get("KG_FAIL_BEFORE_STAGE") == name:
+            raise RuntimeError(f"injected crash before stage '{name}'")
         df = fn()
         path = self._data_path(name)
         df.write.mode("overwrite").parquet(path)

@@ -176,3 +176,19 @@ def test_streaming_ingest(spark, tmp_path, small_corpus):
     # exactly-once: re-running the drained stream appends nothing
     ingest.ingest_available_now(spark, src_dir, out_dir, ck_dir)
     assert spark.read.parquet(out_dir).count() == want.count()
+
+
+def test_word2vec_and_browse(spark):
+    from ontologymatching_spark.operators import embeddings
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tokens")
+    )
+    vecs = embeddings.train_word2vec(docs, dim=16, min_count=2).cache()
+    assert vecs.count() > 10
+    assert len(vecs.first()["vector"]) == 16
+    probe = vecs.first()["word"]
+    nn = embeddings.nearest_words(vecs, [probe], k=5).toPandas()
+    assert len(nn) == 5
+    assert (nn["probe"] == probe).all()
+    assert nn["cosine"].is_monotonic_decreasing

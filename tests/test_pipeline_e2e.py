@@ -101,3 +101,36 @@ def test_structural_boost_pipeline(spark, small_corpus):
     a = out["alignment"].toPandas()
     assert len(a) > 0
     assert a["src_id"].is_unique and a["dst_id"].is_unique
+
+
+def test_kill_and_restart(spark, small_corpus):
+    """Kill-and-restart (FIXTURES.md §3.9): crash injected between stages —
+    restart completes without recomputing the stages finished before the
+    crash."""
+    import os
+    import tempfile
+
+    src_files, _ = small_corpus
+    sf = spark.createDataFrame(src_files)
+    store = CheckpointStore(spark, tempfile.mkdtemp(prefix="kg_kill_"))
+
+    os.environ["KG_FAIL_BEFORE_STAGE"] = "scored_pairs"
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            KGPipeline(spark, store).run(sf)
+    finally:
+        del os.environ["KG_FAIL_BEFORE_STAGE"]
+
+    # stages before the crash are committed
+    for done in ["triples", "entities", "prepared", "candidate_pairs"]:
+        assert store.is_complete(done), done
+    assert not store.is_complete("scored_pairs")
+    mtimes = {
+        s: os.path.getmtime(store._manifest_path(s))
+        for s in ["triples", "entities", "prepared", "candidate_pairs"]
+    }
+
+    out = KGPipeline(spark, store).run(sf)  # restart
+    assert out["alignment"].count() > 0
+    for s, m in mtimes.items():
+        assert os.path.getmtime(store._manifest_path(s)) == m, s
