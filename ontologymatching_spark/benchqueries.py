@@ -1197,6 +1197,40 @@ FROM events
 """
 
 
+def q_salted_exact_join(spark, sf_dir):
+    """Explicit skew-handling demonstration (north rule): exact-name join on
+    doc first-tokens executed as a SALTED join (src side hashed into 8 salt
+    buckets, dst side replicated) — output must equal the plain equi-join,
+    which IS the DuckDB oracle. Hot Zipf tokens ('the', ...) make this a
+    real skew case at sf0.1."""
+    d0 = load(spark, sf_dir, "documents")
+    names = d0.select(
+        "doc_id", F.element_at(_doc_tokens(F.col("text")), 1).alias("name")
+    )
+    s = names.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("src_doc_id"), F.col("name").alias("key")
+    ).withColumn("salt", F.pmod(F.hash("src_doc_id"), F.lit(8)))
+    d = names.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("dst_doc_id"), F.col("name").alias("key")
+    ).withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(7))))
+    return (
+        s.join(d, ["key", "salt"])
+        .select("src_doc_id", "dst_doc_id")
+        .dropDuplicates(["src_doc_id", "dst_doc_id"])
+    )
+
+
+SQL_SALTED = """
+WITH names AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+')[1] AS key
+  FROM documents
+)
+SELECT DISTINCT s.doc_id AS src_doc_id, d.doc_id AS dst_doc_id
+FROM names s JOIN names d ON s.key = d.key
+WHERE s.doc_id % 2 = 0 AND d.doc_id % 2 = 1
+"""
+
+
 def q_sigmoid_rescale(spark, sf_dir):
     """Sigmoid rescale of similarities (LWC sigmoid-average input,
     CombinationMatcher.java:151-153)."""
@@ -1252,6 +1286,7 @@ QUERIES = {
     "connected_components": q_connected_components,
     "events_asof_error": q_events_asof_error,
     "sigmoid_rescale": q_sigmoid_rescale,
+    "salted_exact_join": q_salted_exact_join,
 }
 
 ORACLE_SQL = {
@@ -1283,4 +1318,5 @@ ORACLE_SQL = {
     "connected_components": SQL_CC,
     "events_asof_error": SQL_ASOF,
     "sigmoid_rescale": SQL_SIGMOID,
+    "salted_exact_join": SQL_SALTED,
 }

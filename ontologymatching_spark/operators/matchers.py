@@ -48,15 +48,14 @@ def with_virtual_doc(entities: DataFrame) -> DataFrame:
     path_toks = F.split(
         S.norm_name_col(F.regexp_replace(F.col("path"), r"\.[a-z]+$", "")), " "
     )
-    out = entities.join(sib, ["repo", "path"]).withColumn(
+    return entities.join(sib, ["repo", "path"]).withColumn(
         "doc_tokens",
         F.array_sort(
             F.array_distinct(
                 F.concat(F.col("tokens"), F.col("module_tokens"), path_toks)
             )
         ),
-    )
-    return out.withColumn("doc", F.concat_ws(" ", F.col("doc_tokens")))
+    ).drop("module_tokens")
 
 
 # ---------------------------------------------------------------------------

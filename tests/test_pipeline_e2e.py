@@ -134,3 +134,18 @@ def test_kill_and_restart(spark, small_corpus):
     assert out["alignment"].count() > 0
     for s, m in mtimes.items():
         assert os.path.getmtime(store._manifest_path(s)) == m, s
+
+
+def test_threshold_sweep(spark, e2e, small_corpus):
+    from ontologymatching_spark.operators.threshold_analysis import threshold_sweep
+
+    out, oracle, _ = e2e
+    scored = out["scored_pairs"].cache()
+    gold = spark.createDataFrame(oracle)  # oracle alignment as gold
+    sweep = threshold_sweep(scored, gold, thresholds=[0.5, 0.6, 0.8])
+    assert [r["threshold"] for r in sweep] == [0.5, 0.6, 0.8]
+    # precision rises (weakly) with threshold; at the pipeline's own 0.6 the
+    # alignment equals the oracle exactly
+    at06 = [r for r in sweep if r["threshold"] == 0.6][0]
+    assert at06["precision"] == 1.0 and at06["recall"] == 1.0
+    assert sweep[2]["found"] <= sweep[1]["found"] <= sweep[0]["found"]

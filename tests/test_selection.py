@@ -95,3 +95,41 @@ def test_best_match_boosting(spark):
     )
     assert abs(out["sim"][0] - 0.6) < 1e-12  # best boosted
     assert abs(out["sim"][1] - 0.4) < 1e-12  # rest untouched
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Hot-key skew fixture (FIXTURES.md §3.7): the salted exact-key join
+    must produce exactly the plain equi-join's pair set."""
+    import pandas as pd
+
+    from ontologymatching_spark.operators import blocking
+
+    # 60% of entities named 'main' (hot), rest unique
+    def side(prefix, n):
+        rows = []
+        for i in range(n):
+            name = "main" if i % 5 < 3 else f"{prefix}_u{i}"
+            rows.append(
+                {
+                    "entity_id": (1000 if prefix == "s" else 2000) + i,
+                    "kind": "function",
+                    "norm_name": name,
+                    "nodigit_name": name,
+                    "uri": f"{prefix}/{i}",
+                }
+            )
+        return spark.createDataFrame(pd.DataFrame(rows))
+
+    s, d = side("s", 40), side("d", 40)
+    plain = (
+        s.selectExpr("entity_id as src_id", "concat(kind,'|',norm_name) as key")
+        .join(
+            d.selectExpr("entity_id as dst_id", "concat(kind,'|',norm_name) as key"),
+            "key",
+        )
+        .select("src_id", "dst_id")
+    )
+    salted = blocking.salted_exact_pairs(s, d, salt_buckets=8)
+    a = {(r.src_id, r.dst_id) for r in plain.collect()}
+    b = {(r.src_id, r.dst_id) for r in salted.collect()}
+    assert a == b and len(a) > 500  # 24 x 24 mains + uniques
