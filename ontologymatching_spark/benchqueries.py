@@ -1197,6 +1197,72 @@ FROM events
 """
 
 
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic (stopword-profile argmax with deterministic
+    tie-break) — operators/text.lang_id over the documents table."""
+    from .operators.text import lang_id
+
+    d = load(spark, sf_dir, "documents")
+    out = lang_id(d.select("doc_id", "text"))
+    return out.select("doc_id", "lang_guess", F.round("lang_score", 6).alias("lang_score"))
+
+
+def _sql_lang_scores() -> str:
+    from .operators.text import LANG_PROFILES
+
+    parts = []
+    for lang, words in LANG_PROFILES.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        parts.append(
+            f"len(list_filter(toks, x -> x IN ({lst})))::DOUBLE / len(toks) AS s_{lang}"
+        )
+    return ", ".join(parts)
+
+
+def _sql_lang_guess() -> str:
+    from .operators.text import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)  # asc tie-break
+    g = ", ".join(f"s_{la}" for la in langs)
+    cases = " ".join(
+        f"WHEN s_{la} = greatest({g}) THEN '{la}'" for la in langs
+    )
+    return f"CASE WHEN greatest({g}) = 0 THEN 'und' {cases} END"
+
+
+SQL_LANG_ID = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+s AS (SELECT doc_id, {_sql_lang_scores()} FROM t)
+SELECT doc_id, {_sql_lang_guess()} AS lang_guess,
+       ROUND(greatest(s_de, s_en, s_es, s_fr), 6) AS lang_score
+FROM s
+"""
+
+
+def q_token_profile(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish pieces (GPT-2-style
+    pretokenizer shape) + chars — operators/text.token_counts."""
+    from .operators.text import token_counts
+
+    d = load(spark, sf_dir, "documents")
+    return token_counts(d.select("doc_id", "text")).select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens", "n_chars"
+    )
+
+
+SQL_TOKEN_PROFILE = """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+'))::BIGINT AS n_bpe_tokens,
+       length(text)::BIGINT AS n_chars
+FROM documents
+"""
+
+
 def q_salted_exact_join(spark, sf_dir):
     """Explicit skew-handling demonstration (north rule): exact-name join on
     doc first-tokens executed as a SALTED join (src side hashed into 8 salt
@@ -1287,6 +1353,8 @@ QUERIES = {
     "events_asof_error": q_events_asof_error,
     "sigmoid_rescale": q_sigmoid_rescale,
     "salted_exact_join": q_salted_exact_join,
+    "lang_id_guess": q_lang_id,
+    "token_profile": q_token_profile,
 }
 
 ORACLE_SQL = {
@@ -1319,4 +1387,6 @@ ORACLE_SQL = {
     "events_asof_error": SQL_ASOF,
     "sigmoid_rescale": SQL_SIGMOID,
     "salted_exact_join": SQL_SALTED,
+    "lang_id_guess": SQL_LANG_ID,
+    "token_profile": SQL_TOKEN_PROFILE,
 }
