@@ -46,24 +46,31 @@ def block_keys(entities: DataFrame, side: str) -> DataFrame:
     properties (alignType CLASSES/PROPERTIES, AbstractMatcher.java:147-189).
     """
     e = entities.select("entity_id", "kind", "norm_name", "nodigit_name")
+    t4key = F.array_join(F.array_sort(F.split(F.col("nodigit_name"), " ")), " ")
+    n_toks = F.size(F.split(F.col("norm_name"), " "))
     exact = e.select(
         "entity_id",
         "kind",
         F.concat_ws("|", F.col("kind"), F.col("norm_name")).alias("key"),
         F.lit(KEY_EXACT).alias("strategy"),
     )
+    # redundant-emission pruning (shuffle volume, not recall):
+    #  - token keys only for multi-token names (a single-token name's token
+    #    block IS its tier4 block, which is always emitted — note tier4 must
+    #    be emitted UNCONDITIONALLY: pruning it when equal to the norm name
+    #    would one-sidedly drop 'parser' from the block that 'parsers' maps
+    #    into, losing the stem pair)
+    #  - prefix keys only for single-token names (multi-token typos are
+    #    caught by the surviving tokens)
     tier4 = e.select(
         "entity_id",
         "kind",
-        F.concat_ws(
-            "|",
-            F.col("kind"),
-            F.array_join(F.array_sort(F.split(F.col("nodigit_name"), " ")), " "),
-        ).alias("key"),
+        F.concat_ws("|", F.col("kind"), t4key).alias("key"),
         F.lit(KEY_TIER4).alias("strategy"),
     )
     token = (
-        e.select(
+        e.filter(n_toks > 1)
+        .select(
             "entity_id",
             "kind",
             F.explode(F.split(F.col("nodigit_name"), " ")).alias("tok"),
@@ -76,7 +83,7 @@ def block_keys(entities: DataFrame, side: str) -> DataFrame:
             F.lit(KEY_TOKEN).alias("strategy"),
         )
     )
-    prefix = e.filter(F.length("norm_name") >= 4).select(
+    prefix = e.filter((n_toks == 1) & (F.length("norm_name") >= 4)).select(
         "entity_id",
         "kind",
         F.concat_ws(

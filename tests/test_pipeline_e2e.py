@@ -149,3 +149,19 @@ def test_threshold_sweep(spark, e2e, small_corpus):
     at06 = [r for r in sweep if r["threshold"] == 0.6][0]
     assert at06["precision"] == 1.0 and at06["recall"] == 1.0
     assert sweep[2]["found"] <= sweep[1]["found"] <= sweep[0]["found"]
+
+
+def test_pr_vs_oracle_second_seed(spark):
+    """P/R gate on an independent corpus (different seed, more repos) —
+    guards against overfitting blocking/selection to the seed-42 fixture."""
+    import tempfile
+
+    src_files, _ = generate_corpus(n_repos=20, files_per_repo=8, seed=7)
+    out = KGPipeline(
+        spark, CheckpointStore(spark, tempfile.mkdtemp(prefix="kg_seed7_"))
+    ).run(spark.createDataFrame(src_files))
+    is_src = src_files.repo.str.extract(r"org(\d+)")[0].astype(int) % 2 == 0
+    oracle = match_oracle(src_files[is_src], src_files[~is_src])
+    pr = precision_recall(out["alignment"], spark.createDataFrame(oracle))
+    assert pr["precision"] >= 0.95, pr
+    assert pr["recall"] >= 0.95, pr
