@@ -89,9 +89,9 @@ def substring_sim(s1: str, s2: str, min_len: int = 2, p: float = 0.6) -> float:
     Result clamped into [0, 1] (the reference clamps too — similarities are
     always in [0,1], Mapping.java:27-64)."""
     s1, s2 = s1 or "", s2 or ""
+    if s1 == s2:
+        return 1.0  # identity shortcut (min_len=2 would score 1-char pairs 0)
     l1, l2 = len(s1), len(s2)
-    if l1 == 0 and l2 == 0:
-        return 1.0
     if l1 == 0 or l2 == 0:
         return 0.0
 
