@@ -45,7 +45,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Deterministic timestamp semantics for the DuckDB oracle comparison.
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode runs driver+executors in ONE JVM: size the heap for all
+        # N threads' task memory, not a lone driver (8g at 32 threads on a
+        # 300k-file job GC-thrashed to a 15x slowdown; 48g is ~40% of the box)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # spill-aware input splits: 128 MiB partitions keep per-task state
