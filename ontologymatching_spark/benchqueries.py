@@ -1197,6 +1197,30 @@ FROM events
 """
 
 
+def q_events_quantiles(spark, sf_dir):
+    """Exact percentiles + distinct counts per event type (quality-metric
+    aggregation family, §2.4; exact `percentile`, not approx, for oracle
+    parity — percentile_approx/approx_count_distinct exist for the 100 TB
+    path but are not hash-comparable across engines)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 6).alias("p50_value"),
+        F.round(F.percentile(F.col("value"), F.lit(0.95)), 6).alias("p95_value"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_EVENTS_QUANTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value::DOUBLE, 0.5), 6)  AS p50_value,
+       ROUND(quantile_cont(value::DOUBLE, 0.95), 6) AS p95_value,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 def q_lang_id(spark, sf_dir):
     """Language-ID heuristic (stopword-profile argmax with deterministic
     tie-break) — operators/text.lang_id over the documents table."""
@@ -1355,6 +1379,7 @@ QUERIES = {
     "salted_exact_join": q_salted_exact_join,
     "lang_id_guess": q_lang_id,
     "token_profile": q_token_profile,
+    "events_quantiles": q_events_quantiles,
 }
 
 ORACLE_SQL = {
@@ -1389,4 +1414,5 @@ ORACLE_SQL = {
     "salted_exact_join": SQL_SALTED,
     "lang_id_guess": SQL_LANG_ID,
     "token_profile": SQL_TOKEN_PROFILE,
+    "events_quantiles": SQL_EVENTS_QUANTILES,
 }
