@@ -262,10 +262,15 @@ def generate_corpus(
         if not any(e.name == hot for e in spec.entities):
             spec.entities.append(Entity("function", hot))
 
-    # imports: each file imports 0-3 sibling modules (drives the mention graph)
+    # imports: each file imports 0-3 sibling modules (drives the mention
+    # graph). Group by repo ONCE — the per-file scan over all specs was
+    # quadratic (an hour of driver python at 306k files).
+    by_repo: dict[str, list[FileSpec]] = {}
+    for s in all_specs:
+        by_repo.setdefault(s.repo, []).append(s)
     for spec in all_specs:
         n_imp = int(rng.integers(0, 4))
-        repo_files = [s for s in all_specs if s.repo == spec.repo and s is not spec]
+        repo_files = [s for s in by_repo[spec.repo] if s is not spec]
         for _ in range(min(n_imp, len(repo_files))):
             other = repo_files[int(rng.integers(0, len(repo_files)))]
             mod = other.path.rsplit("/", 1)[-1].split(".")[0]
