@@ -18,8 +18,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# running bare (`python jobs/run_pipeline.py`) puts jobs/ at sys.path[0];
+# fall back to the repo root so the package resolves without --py-files
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
