@@ -1344,6 +1344,90 @@ FROM lev
 
 
 # ---------------------------------------------------------------------------
+# non-SQL-expressible operators (no oracle_sql — the driver records the
+# weaker rows-only check, per contract; these are iterative/fixpoint ops)
+# ---------------------------------------------------------------------------
+
+
+def q_one_to_one_full(spark, sf_dir):
+    """FULL iterative greedy/stable-marriage 1-1 selection
+    (scanWithBothConstraints fixpoint) over the TF-IDF pairs — the one-round
+    mutual-best variant is SQL-checked separately; the fixpoint loop is not
+    SQL-expressible."""
+    from .operators.selection import select_one_to_one
+
+    pairs = q_tfidf_cosine_pairs(spark, sf_dir).select(
+        F.col("src_doc_id").alias("src_id"),
+        F.col("dst_doc_id").alias("dst_id"),
+        F.col("src_doc_id").cast("string").alias("src_uri"),
+        F.col("dst_doc_id").cast("string").alias("dst_uri"),
+        F.col("cosine").alias("sim"),
+    )
+    out = select_one_to_one(pairs, threshold=0.3)
+    return out.select(
+        F.col("src_id").alias("src_doc_id"),
+        F.col("dst_id").alias("dst_doc_id"),
+        F.round("sim", 6).alias("sim"),
+    )
+
+
+def q_similarity_flooding_docs(spark, sf_dir):
+    """Melnik similarity-flooding fixpoint over doc pairs; the doc graph
+    links each doc to its `source` group (pseudo parent) — iterative
+    propagation is not SQL-expressible."""
+    from .operators.structural import similarity_flooding
+
+    pairs = q_tfidf_cosine_pairs(spark, sf_dir).select(
+        F.col("src_doc_id").alias("src_id"),
+        F.col("dst_doc_id").alias("dst_id"),
+        F.col("cosine").alias("sim"),
+    )
+    d = load(spark, sf_dir, "documents")
+    src_hash = F.abs(F.hash("source")).cast("long") + F.lit(10_000_000)
+    edges = d.select(
+        F.col("doc_id").alias("child_id"),
+        src_hash.alias("parent_id"),
+        F.lit("grouped").alias("pred"),
+    )
+    # parent pseudo-pairs seeded at 0.5 so flow has somewhere to go
+    parents = (
+        edges.select(F.col("parent_id").alias("src_id")).distinct()
+        .crossJoin(edges.select(F.col("parent_id").alias("dst_id")).distinct())
+        .filter(F.col("src_id") == F.col("dst_id"))
+        .withColumn("sim", F.lit(0.5))
+    )
+    sigma = similarity_flooding(
+        pairs.unionByName(parents), edges, edges, max_rounds=5
+    )
+    return sigma.filter(F.col("src_id") < 10_000_000).select(
+        F.col("src_id").alias("src_doc_id"),
+        F.col("dst_id").alias("dst_doc_id"),
+        F.round("sim_sf", 6).alias("sim_sf"),
+    )
+
+
+def q_minhash_cc_clusters(spark, sf_dir):
+    """Dedup composition: MinHash-LSH near-dup pairs → hash-min connected
+    components → canonical cluster ids (the canonicalization the pipeline
+    applies to alignments, here applied to near-dup graphs)."""
+    from .operators.components import connected_components
+
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src_id"), F.col("doc_b").alias("dst_id")
+    )
+    return connected_components(pairs).select(
+        F.col("entity_id").alias("doc_id"), F.col("component_id").alias("cluster_id")
+    )
+
+
+ROWS_ONLY_QUERIES = {
+    "one_to_one_full": q_one_to_one_full,
+    "similarity_flooding_docs": q_similarity_flooding_docs,
+    "minhash_cc_clusters": q_minhash_cc_clusters,
+}
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1380,6 +1464,7 @@ QUERIES = {
     "lang_id_guess": q_lang_id,
     "token_profile": q_token_profile,
     "events_quantiles": q_events_quantiles,
+    **ROWS_ONLY_QUERIES,
 }
 
 ORACLE_SQL = {

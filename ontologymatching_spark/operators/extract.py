@@ -48,6 +48,13 @@ _GRAMMARS: dict[str, list[tuple[str, re.Pattern]]] = {
         ("function", re.compile(r"^def (\w+)\(")),
         ("import", re.compile(r"^import ([\w.]+)")),
     ],
+    # generic XML tree (XmlTreeBuilder analog, ontologyParser/XmlTreeBuilder
+    # .java — the reference also reads non-code ontology encodings)
+    "xml": [
+        ("class", re.compile(r"^\s*<class name=\"(\w+)\"\s*/?>")),
+        ("function", re.compile(r"^\s*<function name=\"(\w+)\"\s*/?>")),
+        ("import", re.compile(r"^\s*<import module=\"([\w.]+)\"\s*/?>")),
+    ],
 }
 
 

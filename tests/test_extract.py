@@ -78,3 +78,17 @@ def test_entity_ids_stable(spark, small_corpus):
     pdf = e.select("uri", "entity_id").toPandas()
     assert pdf.groupby("uri")["entity_id"].nunique().max() == 1
     assert pdf["entity_id"].min() >= 0  # 15 hex chars < 2^63, never negative
+
+
+def test_parse_xml_grammar():
+    xml = (
+        '<module name="mod9">\n'
+        '  <import module="other.mod"/>\n'
+        '  <class name="FooBar"/>\n'
+        '  <function name="do_thing"/>\n'
+        "</module>\n"
+    )
+    parsed = extract.parse_file("r", "p.xml", "c", "xml", xml)
+    kinds = sorted(e["kind"] for e in parsed["entities"])
+    assert kinds == ["class", "function"]
+    assert parsed["imports"] == ["other.mod"]
