@@ -203,13 +203,14 @@ def q_events_sessionize(spark, sf_dir):
     batch analog of session_window, §2.10 note)."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet timestamps arrive as TIMESTAMP_NTZ; session TZ is pinned UTC so
-    # the ntz→ltz hop is value-preserving, then cast to epoch seconds (double,
-    # microsecond-exact — epoch micros < 2^53)
-    epoch = F.col("ts").cast("timestamp").cast("double")
-    gap = epoch - F.lag(epoch).over(w)
+    # TIMESTAMP_NTZ subtraction yields a day-time interval — session-TZ-proof
+    # (an ntz→ltz→epoch cast would shift across DST if the harness session
+    # isn't UTC)
+    gap = F.col("ts") - F.lag(F.col("ts")).over(w)
     sess = F.sum(
-        F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+        F.when(
+            gap.isNull() | (gap > F.expr("INTERVAL 1800 SECONDS")), 1
+        ).otherwise(0)
     ).over(w.rowsBetween(Window.unboundedPreceding, 0))
     return (
         ev.withColumn("sess", sess)
