@@ -71,7 +71,9 @@ def q_pricing_summary(spark, sf_dir):
     filter + quality-metric aggregation analogs, SURVEY.md §2.2/2.4)."""
     li = load(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
+        li.filter(
+            F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp_ntz")
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
