@@ -8,11 +8,16 @@ selection, the core matcher+selection shape of the engine) at sf0.001.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ontologymatching_spark import benchqueries as B
+# the driver may exec this file from another cwd — anchor the package path
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ontologymatching_spark import benchqueries as B  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -27,10 +27,11 @@ class PipelineConfig:
     max_block_pairs: int = 10_000
     combination: str = "average"  # average | max | lwc
     topk_guard: int = 50  # per-source candidate cap before selection
-    # optional DSI structural refinement between combine and select
+    # optional structural refinement between combine and select
     # (SURVEY.md §7.9 boost stage; off by default — the oracle models the
-    # base ensemble)
-    structural_boost: bool = False
+    # base ensemble). True/"dsi" → DSI parent blend; "iism" → IISM rule
+    # boosts (the OAEI GENERAL_PURPOSE shape, OAEI2011Matcher.java:209-231).
+    structural_boost: bool | str = False
     dsi_mcp: float = 0.75
 
 
@@ -109,6 +110,7 @@ class KGPipeline:
         if cfg.structural_boost:
 
             def _boosted():
+                from ..operators.iism import iism
                 from ..operators.structural import (
                     dsi, parent_edges_from_triples,
                 )
@@ -122,16 +124,16 @@ class KGPipeline:
                     dst_e.select("entity_id"),
                     parents.child_id == F.col("entity_id"), "left_semi",
                 )
-                boosted = dsi(
-                    scored.select("src_id", "dst_id", "sim"), sp, dp,
-                    mcp=cfg.dsi_mcp,
-                )
-                return scored.drop("sim").join(
-                    boosted.select(
+                base = scored.select("src_id", "dst_id", "sim")
+                if cfg.structural_boost == "iism":
+                    boosted = iism(base, sp, dp).select(
+                        "src_id", "dst_id", F.col("sim_iism").alias("sim")
+                    )
+                else:  # True / "dsi"
+                    boosted = dsi(base, sp, dp, mcp=cfg.dsi_mcp).select(
                         "src_id", "dst_id", F.col("sim_dsi").alias("sim")
-                    ),
-                    ["src_id", "dst_id"],
-                )
+                    )
+                return scored.drop("sim").join(boosted, ["src_id", "dst_id"])
 
             scored = st.stage(
                 "scored_boosted", _boosted, inputs=["scored_pairs", "triples"]

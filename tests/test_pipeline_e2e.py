@@ -165,3 +165,19 @@ def test_pr_vs_oracle_second_seed(spark):
     pr = precision_recall(out["alignment"], spark.createDataFrame(oracle))
     assert pr["precision"] >= 0.95, pr
     assert pr["recall"] >= 0.95, pr
+
+
+def test_iism_boost_pipeline(spark, small_corpus):
+    import tempfile
+
+    from ontologymatching_spark.plans.pipeline import PipelineConfig
+
+    src_files, _ = small_corpus
+    out = KGPipeline(
+        spark,
+        CheckpointStore(spark, tempfile.mkdtemp(prefix="kg_iism_")),
+        PipelineConfig(structural_boost="iism"),
+    ).run(spark.createDataFrame(src_files))
+    a = out["alignment"].toPandas()
+    assert len(a) > 0
+    assert a["src_id"].is_unique and a["dst_id"].is_unique

@@ -133,3 +133,28 @@ def test_salted_join_equals_plain_join(spark):
     a = {(r.src_id, r.dst_id) for r in plain.collect()}
     b = {(r.src_id, r.dst_id) for r in salted.collect()}
     assert a == b and len(a) > 500  # 24 x 24 mains + uniques
+
+
+def test_lwc_quality_weighted(spark):
+    """Quality-weighted LWC: a matcher whose row has one standout candidate
+    gets high local confidence; its vote dominates the average."""
+    import pandas as pd
+
+    from ontologymatching_spark.operators import matchers
+
+    pdf = pd.DataFrame(
+        {
+            "src_id": [1, 1, 1],
+            "dst_id": [11, 12, 13],
+            # matcher A: clear winner at 11; matcher B: flat (uninformative)
+            "sim_a": [0.9, 0.1, 0.1],
+            "sim_b": [0.5, 0.5, 0.5],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = matchers.lwc_quality_weighted(df, ["sim_a", "sim_b"]).toPandas()
+    got = dict(zip(out["dst_id"], out["sim"]))
+    # quality(A) = 1 - avg(non-best) = 1 - 0.1 = 0.9; quality(B) = 0.5
+    # combined(11) = (0.9*0.9 + 0.5*0.5)/(0.9+0.5) ≈ 0.757 > plain avg 0.7
+    assert got[11] > 0.7
+    assert got[11] > got[12] == got[13]
