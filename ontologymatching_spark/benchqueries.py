@@ -1108,6 +1108,86 @@ SELECT vec_id, CAST({_sql_lsh_bucket()} AS BIGINT) AS bucket FROM embeddings
 """
 
 
+def q_ngram_jaccard_dedup(spark, sf_dir):
+    """Char-5-gram Jaccard near-dup pairs over documents, blocked by the
+    normalized-text 16-char prefix (operators/dedup.ngram_jaccard_pairs —
+    the n-gram-Jaccard member of the dedup family; near-identical texts
+    share their head, so the block join replaces the cross join)."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, q=5, min_sim=0.7, block_prefix=16)
+
+
+SQL_NGRAM_DEDUP = """
+WITH d AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, substr(t, 1, 16) AS bk,
+         CASE WHEN length(t) = 0 THEN []::VARCHAR[]
+              WHEN length(t) < 5 THEN [t]
+              ELSE list_transform(range(1, length(t) - 3),
+                                  i -> substr(t, i::INT, 5))
+         END AS grams
+  FROM d
+),
+p AS (
+  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         len(list_intersect(list_distinct(a.grams), list_distinct(c.grams)))::DOUBLE AS i_n,
+         len(list_distinct(list_concat(list_distinct(a.grams), list_distinct(c.grams))))::DOUBLE AS u_n
+  FROM sh a JOIN sh c ON a.bk = c.bk AND a.doc_id < c.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CASE WHEN u_n = 0 THEN 1.0 ELSE i_n / u_n END, 6) AS jaccard
+FROM p
+WHERE ROUND(CASE WHEN u_n = 0 THEN 1.0 ELSE i_n / u_n END, 6) >= 0.7
+"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup candidate pairs via random-hyperplane LSH
+    buckets (the scale path: bucket equi-join, never a cross join — bucket
+    size, not corpus size, drives the pair count). Threshold 0.25 is tuned
+    to the synthetic random embeddings; a production near-dup run uses the
+    same plan at ≥0.95."""
+    from .functions.spark_sims import cosine_array_col
+
+    e = load(spark, sf_dir, "embeddings")
+    v = e.join(q_ann_lsh_buckets(spark, sf_dir), "vec_id")
+    a = v.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("ea"),
+                 "bucket")
+    c = v.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("eb"),
+                 "bucket")
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cosine", F.round(cosine_array_col(F.col("ea"), F.col("eb")), 6))
+        .filter(F.col("cosine") >= 0.25)
+        .select("doc_a", "doc_b", "cosine")
+    )
+
+
+SQL_EMBED_NEARDUP = f"""
+WITH v AS (
+  SELECT vec_id, embedding, CAST({_sql_lsh_bucket()} AS BIGINT) AS bucket
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         ROUND(
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+                    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+           6) AS cosine
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT doc_a, doc_b, cosine FROM p WHERE cosine >= 0.25
+"""
+
+
 def q_events_pivot(spark, sf_dir):
     """Pivot: per-user event-type counts (pivot/unpivot family, §2.4)."""
     ev = load(spark, sf_dir, "events")
@@ -1467,6 +1547,8 @@ QUERIES = {
     "lang_id_guess": q_lang_id,
     "token_profile": q_token_profile,
     "events_quantiles": q_events_quantiles,
+    "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+    "embedding_neardup": q_embedding_neardup,
     **ROWS_ONLY_QUERIES,
 }
 
@@ -1503,4 +1585,6 @@ ORACLE_SQL = {
     "lang_id_guess": SQL_LANG_ID,
     "token_profile": SQL_TOKEN_PROFILE,
     "events_quantiles": SQL_EVENTS_QUANTILES,
+    "ngram_jaccard_dedup": SQL_NGRAM_DEDUP,
+    "embedding_neardup": SQL_EMBED_NEARDUP,
 }

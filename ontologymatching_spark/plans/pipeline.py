@@ -33,6 +33,11 @@ class PipelineConfig:
     # boosts (the OAEI GENERAL_PURPOSE shape, OAEI2011Matcher.java:209-231).
     structural_boost: bool | str = False
     dsi_mcp: float = 0.75
+    # submit independent stage chains (triples→mentions→links vs the
+    # matching chain) as concurrent Spark jobs: the scheduler interleaves
+    # their tasks, filling cores the I/O-bound stages leave idle. Pure
+    # wall-clock optimization — stage outputs are byte-identical.
+    overlap_stages: bool = True
 
 
 class KGPipeline:
@@ -49,10 +54,50 @@ class KGPipeline:
     # -- stages --------------------------------------------------------------
 
     def run(self, src_files: DataFrame) -> dict[str, DataFrame]:
+        self._ex = None
+        try:
+            return self._run(src_files)
+        finally:
+            # drain in-flight side-chain futures even when the main chain
+            # raises (e.g. injected crash): completed stages stay committed,
+            # and callers never observe a half-written store
+            if self._ex is not None:
+                self._ex.shutdown(wait=True)
+                self._ex = None
+
+    def _run(self, src_files: DataFrame) -> dict[str, DataFrame]:
+        """Stage DAG has two independent chains off ``src_files``:
+
+          A: triples → mentions → links(needs prepared)
+          B: entities → prepared → candidate_pairs → scored → alignment → nodes
+
+        With ``overlap_stages`` they are submitted from two Python threads
+        (Spark schedules concurrent jobs at task granularity), so chain A's
+        shuffle/write-bound work fills cores while chain B's pandas-UDF
+        scoring runs — the local[32] win is ~the whole of chain A's wall.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
         cfg = self.cfg
         st = self.store
 
-        triples = st.stage("triples", lambda: extract_triples(src_files))
+        if not cfg.overlap_stages:
+            triples = st.stage("triples", lambda: extract_triples(src_files))
+            f_side = None
+        else:
+            self._ex = ex = ThreadPoolExecutor(max_workers=2)
+
+            def _side_chain():
+                t = st.stage("triples", lambda: extract_triples(src_files))
+                from ..operators.linking import mentions_from_triples
+
+                m = st.stage(
+                    "mentions", lambda: mentions_from_triples(t),
+                    inputs=["triples"],
+                )
+                return t, m
+
+            f_side = ex.submit(_side_chain)
 
         entities_raw = st.stage("entities", lambda: extract_entities(src_files))
 
@@ -66,6 +111,21 @@ class KGPipeline:
             )
 
         prepared = st.stage("prepared", _prepared, inputs=["entities"])
+
+        if f_side is not None:
+            # links needs (mentions, prepared) — both exist now or soon;
+            # overlaps with blocking + scoring below
+            def _links_chain():
+                _, m = f_side.result()
+                from ..operators.linking import link_mentions
+
+                lk = st.stage(
+                    "links", lambda: link_mentions(m, prepared),
+                    inputs=["mentions", "prepared"],
+                )
+                return lk
+
+            f_links = self._ex.submit(_links_chain)
 
         # matching is kind-gated like the reference (classes vs properties,
         # AbstractMatcher.java:147-189): modules are KG nodes and linking
@@ -106,6 +166,10 @@ class KGPipeline:
             )
 
         scored = st.stage("scored_pairs", _scored, inputs=["candidate_pairs"])
+
+        if f_side is not None:
+            # side chain is done (or nearly) by the time scoring lands
+            triples, mentions = f_side.result()
 
         if cfg.structural_boost:
 
@@ -163,19 +227,23 @@ class KGPipeline:
 
         nodes = st.stage("nodes", _nodes, inputs=["alignment", "prepared"])
 
-        def _mentions():
-            from ..operators.linking import mentions_from_triples
+        if f_side is None:
 
-            return mentions_from_triples(triples)
+            def _mentions():
+                from ..operators.linking import mentions_from_triples
 
-        mentions = st.stage("mentions", _mentions, inputs=["triples"])
+                return mentions_from_triples(triples)
 
-        def _links():
-            from ..operators.linking import link_mentions
+            mentions = st.stage("mentions", _mentions, inputs=["triples"])
 
-            return link_mentions(mentions, prepared)
+            def _links():
+                from ..operators.linking import link_mentions
 
-        links = st.stage("links", _links, inputs=["mentions", "prepared"])
+                return link_mentions(mentions, prepared)
+
+            links = st.stage("links", _links, inputs=["mentions", "prepared"])
+        else:
+            links = f_links.result()
 
         def _edges():
             # declares + resolved-import edges, re-keyed to canonical ids

@@ -55,5 +55,16 @@ def get_spark(
         # bounded at any corpus size (the 100 TB lever is partition count,
         # never partition size)
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # codecs are env-tunable: on a shared-disk box (and on real clusters
+        # with slow object stores) zstd trades scalable CPU for the
+        # non-scalable I/O bytes that cap strong scaling (BENCH.md)
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"),
+        )
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
     )
     return builder.getOrCreate()

@@ -47,9 +47,11 @@ def run_one(master: str, n_repos: int, files_per_repo: int) -> None:
     }))
 
 
-def run_both(n_repos: int, files_per_repo: int) -> dict:
+def run_both(n_repos: int, files_per_repo: int,
+             masters: tuple[str, str] = ("local[8]", "local[32]")) -> dict:
+    m_n, m_4n = masters
     results = {}
-    for master in ("local[8]", "local[32]"):
+    for master in masters:
         p = subprocess.run(
             [sys.executable, __file__, "run", master, str(n_repos),
              str(files_per_repo)],
@@ -62,18 +64,20 @@ def run_both(n_repos: int, files_per_repo: int) -> dict:
             raise RuntimeError(f"no RESULT from {master}")
         results[master] = json.loads(line[-1][len("RESULT "):])
         print(results[master])
-    t_n = results["local[8]"]["wall_sec"]
-    t_4n = results["local[32]"]["wall_sec"]
+    t_n = results[m_n]["wall_sec"]
+    t_4n = results[m_4n]["wall_sec"]
     eff = (t_n / t_4n) / 4
     summary = {
-        "t_local8_sec": t_n,
-        "t_local32_sec": t_4n,
-        "speedup_8_to_32": round(t_n / t_4n, 3),
+        "master_n": m_n,
+        "master_4n": m_4n,
+        "t_n_sec": t_n,
+        "t_4n_sec": t_4n,
+        "speedup_n_to_4n": round(t_n / t_4n, 3),
         "scaling_efficiency": round(eff, 3),
-        "throughput_local8": results["local[8]"]["triples_per_sec"],
-        "throughput_local32": results["local[32]"]["triples_per_sec"],
-        "triples": results["local[32]"]["triples"],
-        "files": results["local[32]"]["files"],
+        "throughput_n": results[m_n]["triples_per_sec"],
+        "throughput_4n": results[m_4n]["triples_per_sec"],
+        "triples": results[m_4n]["triples"],
+        "files": results[m_4n]["files"],
     }
     print("SCALING " + json.dumps(summary))
     return summary
@@ -85,4 +89,6 @@ if __name__ == "__main__":
     else:
         n_repos = int(sys.argv[1]) if len(sys.argv) > 1 else 200
         fpr = int(sys.argv[2]) if len(sys.argv) > 2 else 30
-        run_both(n_repos, fpr)
+        masters = (sys.argv[3], sys.argv[4]) if len(sys.argv) > 4 else (
+            "local[8]", "local[32]")
+        run_both(n_repos, fpr, masters)
