@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -65,6 +66,7 @@ class CheckpointStore:
         # job killed between stage k and k+1
         if os.environ.get("KG_FAIL_BEFORE_STAGE") == name:
             raise RuntimeError(f"injected crash before stage '{name}'")
+        t0 = time.time()
         df = fn()
         path = self._data_path(name)
         df.write.mode("overwrite").parquet(path)
@@ -76,6 +78,16 @@ class CheckpointStore:
             "rows": out.count(),
             "schema": out.schema.jsonValue(),
             "inputs": inputs or [],
+            # stage metrics (north rule: checkpoints carry lineage + metrics)
+            "wall_sec": round(time.time() - t0, 3),
+            "n_files": len(
+                [f for f in os.listdir(path) if f.endswith(".parquet")]
+            ),
+            "bytes": sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ),
         }
         tmp = self._manifest_path(name) + ".tmp"
         with open(tmp, "w") as f:

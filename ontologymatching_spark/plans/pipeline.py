@@ -11,6 +11,7 @@ every row carries lineage (repo, path, commit, content_sha256 + stage name).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,10 +35,14 @@ class PipelineConfig:
     structural_boost: bool | str = False
     dsi_mcp: float = 0.75
     # submit independent stage chains (triples→mentions→links vs the
-    # matching chain) as concurrent Spark jobs: the scheduler interleaves
-    # their tasks, filling cores the I/O-bound stages leave idle. Pure
-    # wall-clock optimization — stage outputs are byte-identical.
-    overlap_stages: bool = True
+    # matching chain) as concurrent Spark jobs. Stage outputs are
+    # byte-identical either way. Measured on the single-box sandbox this
+    # HURTS (local[32] 205s → 285s on 100k files): both chains are
+    # checkpoint-write-bound and interleaving them turns sequential writes
+    # into seek thrash on the one shared disk. On a real cluster, where
+    # chains land on different executors/disks, it overlaps genuinely
+    # independent I/O — hence a knob (KG_OVERLAP=1), default off.
+    overlap_stages: bool = os.environ.get("KG_OVERLAP", "0") == "1"
 
 
 class KGPipeline:

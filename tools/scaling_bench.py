@@ -40,10 +40,21 @@ def run_one(master: str, n_repos: int, files_per_repo: int) -> None:
     n_triples = out["triples"].count()
     n_align = out["alignment"].count()
     wall = time.time() - t0
+    stages = {}
+    for s in ["triples", "entities", "prepared", "candidate_pairs",
+              "scored_pairs", "alignment", "nodes", "mentions", "links",
+              "edges"]:
+        try:
+            m = store.manifest(s)
+            stages[s] = {"wall_sec": m.get("wall_sec"),
+                         "mb": round(m.get("bytes", 0) / 1e6, 1)}
+        except FileNotFoundError:
+            pass
     print("RESULT " + json.dumps({
         "master": master, "files": n_files, "triples": n_triples,
         "alignments": n_align, "wall_sec": round(wall, 2),
         "triples_per_sec": round(n_triples / wall, 1),
+        "stages": stages,
     }))
 
 
