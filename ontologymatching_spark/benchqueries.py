@@ -1503,6 +1503,77 @@ def q_minhash_cc_clusters(spark, sf_dir):
     )
 
 
+def q_streaming_sessionize(spark, sf_dir):
+    """Per-user session counts computed by the CUSTOM STATEFUL STREAMING
+    operator (applyInPandasWithState sessionizer, streaming/sessions.py)
+    driven end-to-end: events land as time-ordered parquet drops, a
+    Trigger.AvailableNow query drains them through per-user session state
+    across multiple microbatches (+ a far-future sentinel drop to flush
+    open sessions), and the emitted closed sessions are aggregated. The
+    result is semantically identical to the batch lag+cumsum sessionization,
+    so it shares q_events_sessionize's DuckDB oracle — a full value-hash
+    check on a streaming stateful operator."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from .streaming.sessions import run_sessionize_available_now
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    root = tempfile.mkdtemp(prefix="q_sess_stream_")
+    src, out, chk = (os.path.join(root, d) for d in ("src", "out", "chk"))
+    os.makedirs(src)
+
+    def _drop(df, name):
+        tmp = tempfile.mkdtemp(prefix="q_sess_stage_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        shutil.move(part, os.path.join(src, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    w = W.orderBy("ts", "event_id")
+    ev_b = events.withColumn("bucket", F.ntile(2).over(w))
+    for i in (1, 2):
+        _drop(ev_b.filter(F.col("bucket") == i).drop("bucket"),
+              f"drop{i}.parquet")
+    run_sessionize_available_now(spark, src, out, chk)
+
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    import pandas as _pd
+
+    sentinel = (
+        events.select("user_id").distinct()
+        .withColumn("event_id", 10_000_000 + F.col("user_id"))
+        .withColumn(
+            "ts", F.lit(max_ts + _pd.Timedelta(days=30)).cast("timestamp_ntz")
+        )
+        .withColumn("event_type", F.lit("sentinel"))
+        .withColumn("value", F.lit(0.0))
+        .withColumn("props", F.lit(""))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    _drop(sentinel, "zz_sentinel.parquet")
+    run_sessionize_available_now(spark, src, out, chk)
+
+    got = (
+        spark.read.parquet(out)
+        .filter(F.col("session_start") <= F.lit(max_ts))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+    )
+    # NOTE: `root` must outlive the returned (lazy) DataFrame — it reads
+    # the sink parquet; /tmp cleanup is the OS's job
+    return got
+
+
 ROWS_ONLY_QUERIES = {
     "one_to_one_full": q_one_to_one_full,
     "similarity_flooding_docs": q_similarity_flooding_docs,
@@ -1549,6 +1620,7 @@ QUERIES = {
     "events_quantiles": q_events_quantiles,
     "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
     "embedding_neardup": q_embedding_neardup,
+    "streaming_sessionize": q_streaming_sessionize,
     **ROWS_ONLY_QUERIES,
 }
 
@@ -1587,4 +1659,5 @@ ORACLE_SQL = {
     "events_quantiles": SQL_EVENTS_QUANTILES,
     "ngram_jaccard_dedup": SQL_NGRAM_DEDUP,
     "embedding_neardup": SQL_EMBED_NEARDUP,
+    "streaming_sessionize": SQL_SESSIONIZE,
 }

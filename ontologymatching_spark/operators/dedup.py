@@ -128,12 +128,18 @@ def ngram_jaccard_pairs(
     """→ (doc_a, doc_b, jaccard): char-q-gram Jaccard over pairs blocked by
     the normalized-text prefix (cheap dedup blocking; near-identical texts
     share their head)."""
-    d = docs.select(
-        "doc_id",
-        _norm_text(F.col(text_col)).alias("t"),
-    ).withColumn("bk", F.substring("t", 1, block_prefix)).withColumn(
-        "grams", shingles_col(F.col("t"), q)
+    d0 = docs.select(
+        "doc_id", _norm_text(F.col(text_col)).alias("t")
+    ).withColumn("bk", F.substring("t", 1, block_prefix))
+    # shingle ONLY docs whose block has a partner: at corpus scale the vast
+    # majority of prefix blocks are singletons, and the q-gram array is the
+    # expensive column (len(text) strings per doc) — prune before computing
+    multi = (
+        d0.groupBy("bk").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("bk")
     )
+    d = d0.join(multi, "bk").withColumn("grams", shingles_col(F.col("t"), q))
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"), "bk")
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"), "bk")
     return (
