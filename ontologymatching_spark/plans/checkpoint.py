@@ -23,11 +23,31 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class CheckpointStore:
+    """``fmt='parquet'`` (default): directory-of-parquet + JSON manifest
+    store — what this sandbox runs. ``fmt='iceberg'``: stages commit as
+    Iceberg tables ``<root>.<stage>`` (``root`` is then a catalog.namespace
+    string, e.g. ``lake.kg``); the Iceberg snapshot IS the manifest, and
+    resume reads the table back. Requires the iceberg-spark-runtime jar +
+    catalog conf on the cluster (not present locally — constructor verifies
+    and fails fast with a clear message)."""
+
     def __init__(self, spark: SparkSession, root: str, fmt: str = "parquet"):
         self.spark = spark
         self.root = root
         self.fmt = fmt
-        os.makedirs(root, exist_ok=True)
+        if fmt == "iceberg":
+            catalog = root.split(".", 1)[0]
+            impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+            if not impl:
+                raise RuntimeError(
+                    f"fmt='iceberg' needs spark.sql.catalog.{catalog} "
+                    "configured (iceberg-spark-runtime jar + catalog conf); "
+                    "use fmt='parquet' locally"
+                )
+        elif fmt == "parquet":
+            os.makedirs(root, exist_ok=True)
+        else:
+            raise ValueError(f"unknown checkpoint format: {fmt!r}")
 
     # -- manifest protocol --------------------------------------------------
 
@@ -37,13 +57,23 @@ class CheckpointStore:
     def _manifest_path(self, stage: str) -> str:
         return os.path.join(self.root, f"{stage}.manifest.json")
 
+    def _table(self, stage: str) -> str:
+        return f"{self.root}.{stage}"
+
     def is_complete(self, stage: str) -> bool:
+        if self.fmt == "iceberg":
+            return self.spark.catalog.tableExists(self._table(stage))
         return os.path.exists(self._manifest_path(stage))
 
     def read(self, stage: str) -> DataFrame:
+        if self.fmt == "iceberg":
+            return self.spark.read.table(self._table(stage))
         return self.spark.read.parquet(self._data_path(stage))
 
     def invalidate(self, stage: str) -> None:
+        if self.fmt == "iceberg":
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._table(stage)}")
+            return
         mp = self._manifest_path(stage)
         if os.path.exists(mp):
             os.remove(mp)
@@ -68,6 +98,12 @@ class CheckpointStore:
             raise RuntimeError(f"injected crash before stage '{name}'")
         t0 = time.time()
         df = fn()
+        if self.fmt == "iceberg":
+            # a createOrReplace is ONE atomic Iceberg snapshot commit: a
+            # killed write leaves the previous snapshot (or no table) —
+            # same manifest-last protocol, enforced by the table format
+            df.writeTo(self._table(name)).using("iceberg").createOrReplace()
+            return self.read(name)
         path = self._data_path(name)
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
@@ -96,5 +132,17 @@ class CheckpointStore:
         return out
 
     def manifest(self, stage: str) -> dict:
+        if self.fmt == "iceberg":
+            # the Iceberg snapshot log IS the manifest
+            snaps = self.spark.sql(
+                f"SELECT snapshot_id, committed_at FROM "
+                f"{self._table(stage)}.snapshots ORDER BY committed_at DESC"
+            ).limit(1).collect()
+            return {
+                "stage": stage,
+                "format": "iceberg",
+                "table": self._table(stage),
+                "snapshot_id": snaps[0].snapshot_id if snaps else None,
+            }
         with open(self._manifest_path(stage)) as f:
             return json.load(f)

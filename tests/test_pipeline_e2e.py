@@ -181,3 +181,14 @@ def test_iism_boost_pipeline(spark, small_corpus):
     a = out["alignment"].toPandas()
     assert len(a) > 0
     assert a["src_id"].is_unique and a["dst_id"].is_unique
+
+
+def test_checkpoint_format_gating(spark):
+    """fmt='iceberg' needs a configured catalog (jar absent locally) — the
+    store must fail fast with a clear message; unknown formats rejected."""
+    from ontologymatching_spark.plans.checkpoint import CheckpointStore
+
+    with pytest.raises(RuntimeError, match="spark.sql.catalog.lake"):
+        CheckpointStore(spark, "lake.kg", fmt="iceberg")
+    with pytest.raises(ValueError, match="unknown checkpoint format"):
+        CheckpointStore(spark, "/tmp/x", fmt="orc")
