@@ -1503,6 +1503,166 @@ def q_minhash_cc_clusters(spark, sf_dir):
     )
 
 
+def q_hierarchy_mappings(spark, sf_dir):
+    """Hierarchy matcher (HierarchyMatcherModified analog, §2.8): derive
+    relation-typed subClassOf/superClassOf correspondences from a tight
+    equivalence alignment (lev ≥ 0.9 blocked pairs) plus deterministic
+    parent edges (decade buckets per side — the SQL-checkable stand-in for
+    the KG pipeline's declares-edges; operators/hierarchy.py is the
+    pipeline-facing operator)."""
+    from .operators.hierarchy import hierarchy_mappings
+
+    align = (
+        q_lev_blocked_pairs(spark, sf_dir)
+        .filter(F.col("lev_sim") >= 0.9)
+        .select(
+            F.col("src_doc_id").alias("src_id"),
+            F.col("dst_doc_id").alias("dst_id"),
+        )
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    parents = docs.select(
+        F.col("doc_id").alias("child_id"),
+        (F.floor(F.col("doc_id") / 10) * 10 + F.col("doc_id") % 2)
+        .cast("long")
+        .alias("parent_id"),
+    ).filter(F.col("child_id") != F.col("parent_id"))
+    sp = parents.filter(F.col("child_id") % 2 == 0)
+    dp = parents.filter(F.col("child_id") % 2 == 1)
+    return hierarchy_mappings(align, sp, dp).select(
+        F.col("src_id").alias("src_doc_id"),
+        F.col("dst_id").alias("dst_doc_id"),
+        "rel",
+    )
+
+
+SQL_HIERARCHY = f"""
+WITH names AS ({_SQL_DOC_NAMES}),
+s AS (SELECT doc_id AS src_doc_id, name AS s_name, block_key FROM names WHERE doc_id % 2 = 0),
+d AS (SELECT doc_id AS dst_doc_id, name AS d_name, block_key FROM names WHERE doc_id % 2 = 1),
+p AS (
+  SELECT src_doc_id, dst_doc_id,
+         CASE WHEN length(s_name) = 0 AND length(d_name) = 0 THEN 1.0
+              WHEN least(length(s_name), length(d_name)) = 0 THEN 0.0
+              ELSE 1.0 - least(levenshtein(s_name, d_name),
+                               least(length(s_name), length(d_name)))::DOUBLE
+                         / least(length(s_name), length(d_name))
+         END AS raw_sim
+  FROM s JOIN d USING (block_key)
+),
+align AS (
+  SELECT src_doc_id AS src_id, dst_doc_id AS dst_id
+  FROM p WHERE ROUND(raw_sim, 6) >= 0.9
+),
+par AS (
+  SELECT doc_id AS child_id, (doc_id // 10) * 10 + doc_id % 2 AS parent_id
+  FROM documents
+  WHERE doc_id != (doc_id // 10) * 10 + doc_id % 2
+)
+SELECT DISTINCT * FROM (
+  SELECT par.child_id AS src_doc_id, align.dst_id AS dst_doc_id,
+         'subClassOf' AS rel
+  FROM align JOIN par ON par.parent_id = align.src_id AND par.child_id % 2 = 0
+  UNION ALL
+  SELECT align.src_id AS src_doc_id, par.child_id AS dst_doc_id,
+         'superClassOf' AS rel
+  FROM align JOIN par ON par.parent_id = align.dst_id AND par.child_id % 2 = 1
+)
+"""
+
+
+def q_disagreement_variance(spark, sf_dir):
+    """Matcher-disagreement metric (VarianceDisagreement.java:30-62,
+    VarianceComputation.java:20-50): per-pair population variance of the
+    signature vector of three matchers' sims (min-norm Levenshtein, 3-gram
+    Jaccard, token Dice) over blocked pairs — the feedback-loop candidate
+    ranking. All JVM-side column arithmetic."""
+    from .functions.spark_sims import (
+        dice_col,
+        jaccard_col,
+        lev_min_norm_col,
+        shingles_col,
+    )
+    from .operators.evaluate import disagreement_variance
+
+    names = _doc_names(spark, sf_dir)
+    s = names.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("src_doc_id"),
+        F.col("name").alias("s_name"), "block_key",
+    )
+    d = names.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("dst_doc_id"),
+        F.col("name").alias("d_name"), "block_key",
+    )
+    p = (
+        s.join(d, "block_key")
+        .withColumn("sim_lev", lev_min_norm_col(F.col("s_name"), F.col("d_name")))
+        .withColumn(
+            "sim_qgram",
+            jaccard_col(shingles_col(F.col("s_name"), 3),
+                        shingles_col(F.col("d_name"), 3)),
+        )
+        .withColumn(
+            "sim_dice",
+            dice_col(F.split(F.col("s_name"), " "), F.split(F.col("d_name"), " ")),
+        )
+    )
+    p = disagreement_variance(p, ["sim_lev", "sim_qgram", "sim_dice"])
+    return p.select(
+        "src_doc_id", "dst_doc_id",
+        F.round(F.col("disagreement"), 6).alias("disagreement"),
+    ).filter(F.col("disagreement") >= 0.01)
+
+
+SQL_DISAGREEMENT = f"""
+WITH names AS ({_SQL_DOC_NAMES}),
+s AS (SELECT doc_id AS src_doc_id, name AS s_name, block_key FROM names WHERE doc_id % 2 = 0),
+d AS (SELECT doc_id AS dst_doc_id, name AS d_name, block_key FROM names WHERE doc_id % 2 = 1),
+sh AS (
+  SELECT src_doc_id, dst_doc_id, s_name, d_name,
+         CASE WHEN length(s_name) = 0 AND length(d_name) = 0 THEN 1.0
+              WHEN least(length(s_name), length(d_name)) = 0 THEN 0.0
+              ELSE 1.0 - least(levenshtein(s_name, d_name),
+                               least(length(s_name), length(d_name)))::DOUBLE
+                         / least(length(s_name), length(d_name))
+         END AS sim_lev
+  FROM s JOIN d USING (block_key)
+),
+gr AS (
+  SELECT *,
+    (CASE WHEN length(lower(s_name)) = 0 THEN []::VARCHAR[]
+          WHEN length(lower(s_name)) < 3 THEN [lower(s_name)]
+          ELSE list_transform(range(1, length(s_name) - 1), i -> substr(lower(s_name), i::INT, 3)) END) AS sg,
+    (CASE WHEN length(lower(d_name)) = 0 THEN []::VARCHAR[]
+          WHEN length(lower(d_name)) < 3 THEN [lower(d_name)]
+          ELSE list_transform(range(1, length(d_name) - 1), i -> substr(lower(d_name), i::INT, 3)) END) AS dg,
+    string_split(s_name, ' ') AS st, string_split(d_name, ' ') AS dt
+  FROM sh
+),
+sims AS (
+  SELECT src_doc_id, dst_doc_id, sim_lev,
+    CASE WHEN len(list_distinct(list_concat(list_distinct(sg), list_distinct(dg)))) = 0 THEN 1.0
+         ELSE len(list_intersect(list_distinct(sg), list_distinct(dg)))::DOUBLE
+              / len(list_distinct(list_concat(list_distinct(sg), list_distinct(dg))))
+    END AS sim_qgram,
+    CASE WHEN len(list_distinct(st)) + len(list_distinct(dt)) = 0 THEN 1.0
+         ELSE 2.0 * len(list_intersect(list_distinct(st), list_distinct(dt)))::DOUBLE
+              / (len(list_distinct(st)) + len(list_distinct(dt)))
+    END AS sim_dice
+  FROM gr
+),
+v AS (
+  SELECT src_doc_id, dst_doc_id,
+         ((sim_lev - (sim_lev + sim_qgram + sim_dice) / 3.0) * (sim_lev - (sim_lev + sim_qgram + sim_dice) / 3.0)
+          + (sim_qgram - (sim_lev + sim_qgram + sim_dice) / 3.0) * (sim_qgram - (sim_lev + sim_qgram + sim_dice) / 3.0)
+          + (sim_dice - (sim_lev + sim_qgram + sim_dice) / 3.0) * (sim_dice - (sim_lev + sim_qgram + sim_dice) / 3.0)) / 3.0 AS disagreement
+  FROM sims
+)
+SELECT src_doc_id, dst_doc_id, ROUND(disagreement, 6) AS disagreement
+FROM v WHERE ROUND(disagreement, 6) >= 0.01
+"""
+
+
 def q_streaming_sessionize(spark, sf_dir):
     """Per-user session counts computed by the CUSTOM STATEFUL STREAMING
     operator (applyInPandasWithState sessionizer, streaming/sessions.py)
@@ -1621,6 +1781,8 @@ QUERIES = {
     "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
     "embedding_neardup": q_embedding_neardup,
     "streaming_sessionize": q_streaming_sessionize,
+    "disagreement_variance": q_disagreement_variance,
+    "hierarchy_mappings": q_hierarchy_mappings,
     **ROWS_ONLY_QUERIES,
 }
 
@@ -1660,4 +1822,6 @@ ORACLE_SQL = {
     "ngram_jaccard_dedup": SQL_NGRAM_DEDUP,
     "embedding_neardup": SQL_EMBED_NEARDUP,
     "streaming_sessionize": SQL_SESSIONIZE,
+    "disagreement_variance": SQL_DISAGREEMENT,
+    "hierarchy_mappings": SQL_HIERARCHY,
 }

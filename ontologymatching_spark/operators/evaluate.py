@@ -1,11 +1,33 @@
 """P/R/F evaluation vs a gold alignment — ReferenceEvaluator semantics
 (referenceAlignment/ReferenceEvaluator.java:21-123: correct = |eval ∩ ref| by
-URI-pair equality, P = correct/found, R = correct/ref, F harmonic α=0.5).
+URI-pair equality, P = correct/found, R = correct/ref, F harmonic α=0.5) —
+plus the matcher-disagreement metric (am/evaluation/disagreement/variance/
+VarianceDisagreement.java:30-62, VarianceComputation.java:20-50): per-pair
+POPULATION variance of the matchers' similarity signature vector; high
+variance = the matchers disagree = the pair a feedback loop should ask a
+user about first (VarianceDisagreementComparator orders descending).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def disagreement_variance(pairs: DataFrame, sim_cols: list[str],
+                          out_col: str = "disagreement") -> DataFrame:
+    """Append the variance-disagreement column over the given matcher
+    similarity columns (the signature vector). Pure column arithmetic —
+    no shuffle, no UDF; stays inside whole-stage codegen."""
+    k = len(sim_cols)
+    mean: Column = sum(
+        (F.col(c) for c in sim_cols[1:]), F.col(sim_cols[0])
+    ) / F.lit(float(k))
+    var: Column = sum(
+        ((F.col(c) - mean) * (F.col(c) - mean) for c in sim_cols[1:]),
+        (F.col(sim_cols[0]) - mean) * (F.col(sim_cols[0]) - mean),
+    ) / F.lit(float(k))
+    return pairs.withColumn(out_col, var)
 
 
 def precision_recall(alignment: DataFrame, gold: DataFrame) -> dict[str, float]:

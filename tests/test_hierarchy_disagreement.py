@@ -1,0 +1,71 @@
+"""Unit tests: hierarchy matcher (relation-typed mappings) and the
+variance-disagreement metric — deterministic synthetic fixtures in the
+reference's degenerate-matcher test style (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontologymatching_spark.operators.evaluate import disagreement_variance
+from ontologymatching_spark.operators.hierarchy import hierarchy_mappings
+
+
+def test_hierarchy_mappings_rules(spark):
+    # alignment: s10 ≡ d11 ; source children of 10: {12, 14}; target child
+    # of 11: {13}; unrelated parent 20→22 must emit nothing
+    align = spark.createDataFrame([(10, 11)], "src_id long, dst_id long")
+    sp = spark.createDataFrame(
+        [(12, 10), (14, 10), (22, 20)], "child_id long, parent_id long"
+    )
+    dp = spark.createDataFrame([(13, 11)], "child_id long, parent_id long")
+    got = {
+        (r.src_id, r.dst_id, r.rel)
+        for r in hierarchy_mappings(align, sp, dp).collect()
+    }
+    assert got == {
+        (12, 11, "subClassOf"),
+        (14, 11, "subClassOf"),
+        (10, 13, "superClassOf"),
+    }
+
+
+def test_hierarchy_mappings_dedups(spark):
+    # two alignments sharing a child-parent edge must not duplicate rows
+    align = spark.createDataFrame(
+        [(10, 11), (10, 11)], "src_id long, dst_id long"
+    )
+    sp = spark.createDataFrame([(12, 10)], "child_id long, parent_id long")
+    dp = spark.createDataFrame([], "child_id long, parent_id long")
+    assert hierarchy_mappings(align, sp, dp).count() == 1
+
+
+def test_disagreement_variance_values(spark):
+    # VarianceComputation semantics: population variance (divide by n)
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0, 0.0), (2, 1.0, 1.0, 1.0), (3, 1.0, 0.0, 0.5)],
+        "pair_id long, a double, b double, c double",
+    )
+    got = {
+        r.pair_id: r.disagreement
+        for r in disagreement_variance(df, ["a", "b", "c"]).collect()
+    }
+    assert got[1] == 0.0  # all-agree → zero disagreement
+    assert got[2] == 0.0
+    # mean 0.5, deviations (0.5, -0.5, 0) → var = (0.25+0.25+0)/3
+    assert got[3] == pytest.approx(0.5 / 3.0)
+
+
+def test_disagreement_ranks_conflicts_first(spark):
+    # the feedback-loop ordering: a matcher-conflicted pair outranks a
+    # unanimous one (VarianceDisagreementComparator, descending)
+    df = spark.createDataFrame(
+        [("agree", 0.9, 0.9), ("conflict", 1.0, 0.0)],
+        "pair string, a double, b double",
+    )
+    top = (
+        disagreement_variance(df, ["a", "b"])
+        .orderBy(F.desc("disagreement"))
+        .first()
+    )
+    assert top.pair == "conflict"
