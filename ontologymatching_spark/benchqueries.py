@@ -1734,10 +1734,56 @@ def q_streaming_sessionize(spark, sf_dir):
     return got
 
 
+def q_mssg_senses(spark, sf_dir):
+    """MSSG multi-sense discovery over document tokens (the reference
+    thesis's MultiSenseSkipGramEmbeddingModel re-expressed batch-side,
+    operators/embeddings.py): per-occurrence context vectors → per-word
+    max-dot k-means into 2 senses. Rows-only driver check (iterative
+    k-means isn't SQL-expressible); md5-derived token embeddings stand in
+    for trained vectors (deterministic, engine-portable, no RNG)."""
+    from .operators.embeddings import context_vectors, mssg_sense_vectors
+
+    d = load(spark, sf_dir, "documents")
+    docs = d.select("doc_id", _doc_tokens(F.col("text")).alias("tokens"))
+    vocab = docs.select(F.explode("tokens").alias("word")).distinct()
+    dims = [
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("word"), F.lit(f"_d{i}"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 1000
+                - 500
+            ).cast("double")
+            / 500.0
+        ).cast("float")
+        for i in range(8)
+    ]
+    vectors = vocab.select("word", F.array(*dims).alias("vector"))
+    ctx = context_vectors(docs, vectors, window=2)
+    senses = mssg_sense_vectors(ctx, n_senses=2, min_contexts=50)
+    return senses.select(
+        "word", "sense", "n_contexts",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "sense_vec", F.lit(0.0), lambda a, v: a + v * v
+                )
+            ),
+            6,
+        ).alias("sense_norm"),
+    )
+
+
 ROWS_ONLY_QUERIES = {
     "one_to_one_full": q_one_to_one_full,
     "similarity_flooding_docs": q_similarity_flooding_docs,
     "minhash_cc_clusters": q_minhash_cc_clusters,
+    "mssg_senses": q_mssg_senses,
 }
 
 

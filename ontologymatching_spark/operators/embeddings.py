@@ -38,8 +38,11 @@ def train_word2vec(
     )
     model = w2v.fit(docs.select(tokens_col))
     vecs = model.getVectors()  # (word, vector: ml VectorUDT)
-    to_arr = F.udf(lambda v: [float(x) for x in v], "array<float>")
-    return vecs.select("word", to_arr(F.col("vector")).alias("vector"))
+    from pyspark.ml.functions import vector_to_array
+
+    return vecs.select(
+        "word", vector_to_array(F.col("vector"), "float32").alias("vector")
+    )
 
 
 def nearest_words(vectors: DataFrame, probe_words: list[str], k: int = 10) -> DataFrame:
@@ -62,4 +65,132 @@ def nearest_words(vectors: DataFrame, probe_words: list[str], k: int = 10) -> Da
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("probe", "neighbor", "cosine", "rnk")
+    )
+
+
+def context_vectors(
+    docs: DataFrame,
+    vectors: DataFrame,
+    tokens_col: str = "tokens",
+    window: int = 2,
+) -> DataFrame:
+    """Per-occurrence context vectors: for every (doc_id, pos, word), the
+    elementwise MEAN of the embeddings of tokens within ±window (the
+    reference's context-sum, MultiSenseSkipGramEmbeddingModel.scala:12-47,
+    normalized to a mean so window-edge occurrences are comparable).
+
+    All JVM-side and O(tokens × window), never O(tokens²): neighbors come
+    from array slices of the ORIGINAL tokens column (no within-doc
+    self-join), the vector lookup is a broadcast join, and the mean is one
+    zip_with fold per occurrence (single shuffle, no per-dimension row
+    blow-up). → (doc_id, pos, word, ctx: array<double>)."""
+    dim_row = vectors.select(F.size("vector").alias("d")).first()
+    dim = dim_row.d if dim_row else 0
+    occ = docs.select(
+        "doc_id",
+        F.col(tokens_col).alias("toks"),
+        F.posexplode(F.col(tokens_col)).alias("pos", "word"),
+    )
+    # pos is 0-based, slice() is 1-based
+    left = F.slice(
+        F.col("toks"),
+        F.greatest(F.col("pos") - window + 1, F.lit(1)),
+        F.least(F.lit(window), F.col("pos")),
+    )
+    right = F.slice(
+        F.col("toks"),
+        F.col("pos") + 2,
+        F.greatest(
+            F.least(F.lit(window), F.size("toks") - F.col("pos") - 1),
+            F.lit(0),
+        ),
+    )
+    nbr = occ.select(
+        "doc_id", "pos", "word",
+        F.explode(F.concat(left, right)).alias("nword"),
+    )
+    withv = nbr.join(
+        F.broadcast(vectors.withColumnRenamed("word", "nword")), "nword"
+    )
+    zeros = F.array_repeat(F.lit(0.0), dim)
+    return (
+        withv.groupBy("doc_id", "pos", "word")
+        # sort the collected (nword, vector) structs: double summation is
+        # order-sensitive at the ULP level, and collect_list order varies
+        # with parallelism — the sort makes ctx bit-identical at any level
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("nword", "vector"))
+            ).alias("nvs")
+        )
+        .select(
+            "doc_id", "pos", "word",
+            F.transform(
+                F.aggregate(
+                    "nvs",
+                    zeros,
+                    lambda acc, s: F.zip_with(
+                        acc,
+                        s.getField("vector"),
+                        lambda a, b: a + b.cast("double"),
+                    ),
+                ),
+                lambda v: v / F.size("nvs"),
+            ).alias("ctx"),
+        )
+    )
+
+
+def mssg_sense_vectors(
+    ctx: DataFrame,
+    n_senses: int = 2,
+    n_iter: int = 5,
+    min_contexts: int = 4,
+) -> DataFrame:
+    """Multi-Sense Skip-Gram sense discovery — the reference thesis's MSSG
+    trainer re-expressed batch-side (skipgram/src/
+    MultiSenseSkipGramEmbeddingModel.scala:12-100 'cbow_predict': a context
+    is assigned to the sense with max dot(context, sense-vec);
+    MultiSenseWordEmbeddingModel.scala:50-136: cluster centers move to the
+    mean of their contexts). Per word: k-means over its context vectors,
+    max-dot assignment, mean update, ``n_iter`` bounded rounds.
+
+    Deterministic under any parallelism: contexts sorted by (doc_id, pos)
+    inside each group; init = first ``n_senses`` contexts in that order.
+    → (word, sense, sense_vec: array<double>, n_contexts)."""
+    import pandas as pd
+
+    def kmeans(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["doc_id", "pos"], kind="mergesort")
+        word = pdf["word"].iloc[0]
+        X = np.array(pdf["ctx"].tolist(), dtype="float64")
+        k = min(n_senses, len(X))
+        C = X[:k].copy()
+        assign = np.zeros(len(X), dtype="int64")
+        for _ in range(n_iter):
+            assign = np.argmax(X @ C.T, axis=1)  # cbow_predict: max dot
+            for j in range(k):
+                mask = assign == j
+                if mask.any():
+                    C[j] = X[mask].mean(axis=0)
+        counts = np.bincount(assign, minlength=k)
+        return pd.DataFrame(
+            {
+                "word": [word] * k,
+                "sense": np.arange(k, dtype="int64"),
+                "sense_vec": [C[j].tolist() for j in range(k)],
+                "n_contexts": counts.astype("int64"),
+            }
+        )
+
+    eligible = ctx.join(
+        ctx.groupBy("word").agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_contexts).select("word"),
+        "word",
+    )
+    return eligible.groupBy("word").applyInPandas(
+        kmeans,
+        "word string, sense long, sense_vec array<double>, n_contexts long",
     )

@@ -1,0 +1,66 @@
+"""MSSG sense discovery: a polysemous word's contexts split into the right
+senses (the thesis's multi-sense trainer, re-expressed batch-side)."""
+
+from __future__ import annotations
+
+from ontologymatching_spark.operators.embeddings import (
+    context_vectors,
+    mssg_sense_vectors,
+)
+
+
+def _fixture(spark):
+    # 'bank' in two disjoint context families with orthogonal embeddings
+    money_docs = [(2 * i, ["money", "bank", "loan"]) for i in range(4)]
+    river_docs = [(2 * i + 1, ["river", "bank", "water"]) for i in range(4)]
+    docs = spark.createDataFrame(
+        money_docs + river_docs, "doc_id long, tokens array<string>"
+    )
+    vectors = spark.createDataFrame(
+        [
+            ("money", [1.0, 0.0, 0.0, 0.0]),
+            ("loan", [0.9, 0.1, 0.0, 0.0]),
+            ("river", [0.0, 0.0, 1.0, 0.0]),
+            ("water", [0.0, 0.0, 0.9, 0.1]),
+            ("bank", [0.5, 0.5, 0.5, 0.5]),
+        ],
+        "word string, vector array<float>",
+    )
+    return docs, vectors
+
+
+def test_mssg_separates_senses(spark):
+    docs, vectors = _fixture(spark)
+    ctx = context_vectors(docs, vectors, window=2)
+    senses = mssg_sense_vectors(ctx, n_senses=2, min_contexts=4)
+    bank = {r.sense: r for r in senses.filter("word = 'bank'").collect()}
+    assert len(bank) == 2
+    # 4 money contexts and 4 river contexts, one sense each
+    assert sorted(r.n_contexts for r in bank.values()) == [4, 4]
+    # each sense centroid lives on the right axis pair: money sense loads
+    # dims 0-1, river sense dims 2-3
+    v0, v1 = bank[0].sense_vec, bank[1].sense_vec
+    money_like = v0 if v0[0] > v1[0] else v1
+    river_like = v1 if money_like is v0 else v0
+    assert money_like[0] > 0.5 and money_like[2] < 0.2
+    assert river_like[2] > 0.5 and river_like[0] < 0.2
+
+
+def test_mssg_deterministic(spark):
+    docs, vectors = _fixture(spark)
+    ctx = context_vectors(docs, vectors, window=2)
+    a = mssg_sense_vectors(ctx, n_senses=2, min_contexts=4).collect()
+    b = mssg_sense_vectors(ctx, n_senses=2, min_contexts=4).collect()
+    key = lambda rows: sorted(
+        (r.word, r.sense, tuple(r.sense_vec), r.n_contexts) for r in rows
+    )
+    assert key(a) == key(b)
+
+
+def test_mssg_respects_min_contexts(spark):
+    docs, vectors = _fixture(spark)
+    ctx = context_vectors(docs, vectors, window=2)
+    senses = mssg_sense_vectors(ctx, n_senses=2, min_contexts=5)
+    # 'bank' has 8 contexts (kept); 'money' only 4 (dropped at min 5)
+    words = {r.word for r in senses.collect()}
+    assert "bank" in words and "money" not in words
