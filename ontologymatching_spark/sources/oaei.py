@@ -114,3 +114,59 @@ def parse_old_oaei(spark: SparkSession, text: str) -> DataFrame:
     return spark.createDataFrame(pdf) if len(pdf) else spark.createDataFrame(
         [], "src_uri string, dst_uri string, rel string, sim double"
     )
+
+
+def read_txt_alignment(
+    spark: SparkSession, path: str, fmt: str = "ref2"
+) -> DataFrame:
+    """The reference's TXT reference-alignment variants
+    (ReferenceAlignmentMatcher.java:44-47 format list; parsers
+    parseRefFormat2:338-380, parseRefFormat3:388-414, parseRefFormat5:418-447):
+
+      ref2: ``src\\tdst`` | ``src\\trel\\tdst`` | ``src\\trel\\tdst\\tsim``
+            (NOTE: the reference's 4-field branch constructs the pair but
+            never result.add()s it — an upstream bug we do NOT reproduce;
+            the 4-field row is kept here)
+      ref3: ``srcDesc\\tsrc\\t--->\\tdst\\tdstDesc`` or
+            ``srcDesc\\tsrc\\tdst\\tdstDesc`` (Madison–Dane test case)
+      ref5: ``src\\t--->\\tdst\\tsim\\trel[\\tprovenance]`` (AM export)
+
+    → alignment(src_uri, dst_uri, rel, sim, provenance). Malformed lines are
+    skipped, as in the reference."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line.strip():
+                continue
+            s = line.split("\t")
+            if fmt == "ref2":
+                if len(s) == 2:
+                    rows.append((s[0].strip(), s[1].strip(), "=", 1.0, None))
+                elif len(s) == 3:
+                    rows.append((s[0].strip(), s[2].strip(), s[1].strip(), 1.0, None))
+                elif len(s) == 4:
+                    rows.append(
+                        (s[0].strip(), s[2].strip(), s[1].strip(), float(s[3]), None)
+                    )
+            elif fmt == "ref3":
+                if len(s) == 5:
+                    rows.append((s[1], s[3], "=", 1.0, None))
+                elif len(s) == 4:
+                    rows.append((s[1], s[2], "=", 1.0, None))
+            elif fmt == "ref5":
+                if len(s) == 5 or (len(s) == 6 and s[1] == "--->"):
+                    try:
+                        sim = float(s[3])
+                    except ValueError:
+                        sim = 1.0
+                    rel = s[4] if s[4] else "="
+                    prov = s[5] if len(s) == 6 else None
+                    rows.append((s[0], s[2], rel, sim, prov))
+            else:
+                raise ValueError(f"unknown TXT alignment format: {fmt!r}")
+    schema = (
+        "src_uri string, dst_uri string, rel string, sim double, "
+        "provenance string"
+    )
+    return spark.createDataFrame(rows, schema)

@@ -1,6 +1,7 @@
 """Tests: lexicon/LSM and OAEI alignment interop round-trips."""
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from ontologymatching_spark.operators import lexicon
@@ -94,3 +95,39 @@ def test_tsv_roundtrip_and_old_oaei(spark, tmp_path):
     old = oaei.parse_old_oaei(spark, "u1 = v1\nu2 < v2\njunk line\n").toPandas()
     assert len(old) == 2
     assert set(old["rel"]) == {"=", "<"}
+
+
+def test_read_txt_alignment_variants(spark, tmp_path):
+    from ontologymatching_spark.sources.oaei import read_txt_alignment
+
+    # ref2: all three arities (the 4-field row IS kept — documented
+    # deviation from the reference's missing result.add)
+    p2 = tmp_path / "ref2.txt"
+    p2.write_text("a\tb\nc\t<\td\ne\t>\tf\t0.7\n")
+    got = {
+        (r.src_uri, r.dst_uri, r.rel, r.sim)
+        for r in read_txt_alignment(spark, str(p2), "ref2").collect()
+    }
+    assert got == {("a", "b", "=", 1.0), ("c", "d", "<", 1.0),
+                   ("e", "f", ">", 0.7)}
+
+    # ref3: 5-field (with arrow) and 4-field rows
+    p3 = tmp_path / "ref3.txt"
+    p3.write_text("sd\tsrc1\t--->\tdst1\tdd\nsd\tsrc2\tdst2\tdd\n")
+    got3 = {
+        (r.src_uri, r.dst_uri)
+        for r in read_txt_alignment(spark, str(p3), "ref3").collect()
+    }
+    assert got3 == {("src1", "dst1"), ("src2", "dst2")}
+
+    # ref5: AM export with and without provenance; unparseable sim -> 1.0
+    p5 = tmp_path / "ref5.txt"
+    p5.write_text("s1\t--->\td1\t0.9\t=\nsx\t--->\tdx\tNaNish\t=\tbsm\n")
+    rows5 = {
+        (r.src_uri, r.dst_uri, r.sim, r.provenance)
+        for r in read_txt_alignment(spark, str(p5), "ref5").collect()
+    }
+    assert rows5 == {("s1", "d1", 0.9, None), ("sx", "dx", 1.0, "bsm")}
+
+    with pytest.raises(ValueError):
+        read_txt_alignment(spark, str(p5), "nope")
