@@ -1585,6 +1585,11 @@ def q_disagreement_variance(spark, sf_dir):
     )
     from .operators.evaluate import disagreement_variance
 
+    # NOTE: shingles/tokens are deliberately computed PER PAIR after the
+    # join — for short names, recomputing in codegen is cheaper than
+    # shipping array columns through the join shuffle (measured 10 s vs
+    # 39 s at sf0.1; the inverse of the minhash materialize-first lesson,
+    # which holds only for EXPENSIVE array columns fanned out many times)
     names = _doc_names(spark, sf_dir)
     s = names.filter(F.col("doc_id") % 2 == 0).select(
         F.col("doc_id").alias("src_doc_id"),
