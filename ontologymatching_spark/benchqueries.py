@@ -1668,6 +1668,46 @@ FROM v WHERE ROUND(disagreement, 6) >= 0.01
 """
 
 
+def q_alignment_delta(spark, sf_dir):
+    """Alignment delta (DeltaFromReference.java:24-44 edit-distance
+    classification / AlignmentMetrics.java overlap counts): the pairs kept,
+    dropped and unreachable when tightening the threshold 0.5 → 0.8 on the
+    lev alignment — full-outer join, status-tagged (threshold-sweep
+    companion)."""
+    from .operators.evaluate import alignment_delta
+
+    base = q_lev_blocked_pairs(spark, sf_dir)
+    a = base.select("src_doc_id", "dst_doc_id")
+    b = base.filter(F.col("lev_sim") >= 0.8).select("src_doc_id", "dst_doc_id")
+    return alignment_delta(a, b, keys=("src_doc_id", "dst_doc_id"))
+
+
+SQL_ALIGN_DELTA = f"""
+WITH names AS ({_SQL_DOC_NAMES}),
+s AS (SELECT doc_id AS src_doc_id, name AS s_name, block_key FROM names WHERE doc_id % 2 = 0),
+d AS (SELECT doc_id AS dst_doc_id, name AS d_name, block_key FROM names WHERE doc_id % 2 = 1),
+p AS (
+  SELECT src_doc_id, dst_doc_id,
+         ROUND(CASE WHEN length(s_name) = 0 AND length(d_name) = 0 THEN 1.0
+              WHEN least(length(s_name), length(d_name)) = 0 THEN 0.0
+              ELSE 1.0 - least(levenshtein(s_name, d_name),
+                               least(length(s_name), length(d_name)))::DOUBLE
+                         / least(length(s_name), length(d_name))
+         END, 6) AS lev_sim
+  FROM s JOIN d USING (block_key)
+),
+a AS (SELECT DISTINCT src_doc_id, dst_doc_id FROM p WHERE lev_sim >= 0.5),
+b AS (SELECT DISTINCT src_doc_id, dst_doc_id FROM p WHERE lev_sim >= 0.8)
+SELECT COALESCE(a.src_doc_id, b.src_doc_id) AS src_doc_id,
+       COALESCE(a.dst_doc_id, b.dst_doc_id) AS dst_doc_id,
+       CASE WHEN a.src_doc_id IS NOT NULL AND b.src_doc_id IS NOT NULL THEN 'both'
+            WHEN a.src_doc_id IS NOT NULL THEN 'only_a'
+            ELSE 'only_b' END AS status
+FROM a FULL OUTER JOIN b
+  ON a.src_doc_id = b.src_doc_id AND a.dst_doc_id = b.dst_doc_id
+"""
+
+
 def q_streaming_sessionize(spark, sf_dir):
     """Per-user session counts computed by the CUSTOM STATEFUL STREAMING
     operator (applyInPandasWithState sessionizer, streaming/sessions.py)
@@ -1834,6 +1874,7 @@ QUERIES = {
     "streaming_sessionize": q_streaming_sessionize,
     "disagreement_variance": q_disagreement_variance,
     "hierarchy_mappings": q_hierarchy_mappings,
+    "alignment_delta": q_alignment_delta,
     **ROWS_ONLY_QUERIES,
 }
 
@@ -1875,4 +1916,5 @@ ORACLE_SQL = {
     "streaming_sessionize": SQL_SESSIONIZE,
     "disagreement_variance": SQL_DISAGREEMENT,
     "hierarchy_mappings": SQL_HIERARCHY,
+    "alignment_delta": SQL_ALIGN_DELTA,
 }

@@ -30,6 +30,37 @@ def disagreement_variance(pairs: DataFrame, sim_cols: list[str],
     return pairs.withColumn(out_col, var)
 
 
+def global_confidence(weights: DataFrame, quality_col: str = "quality") -> float:
+    """GlobalConfidenceQuality (qualityEvaluation/metrics/
+    GlobalConfidenceQuality.java:30-62): the matcher-level scalar quality =
+    average of the per-row local confidences (which
+    matchers.local_confidence_weights computes)."""
+    row = weights.agg(F.avg(quality_col).alias("g")).collect()[0]
+    return float(row.g) if row.g is not None else 0.0
+
+
+def alignment_delta(a: DataFrame, b: DataFrame,
+                    keys: tuple[str, str] = ("src_uri", "dst_uri")) -> DataFrame:
+    """Alignment edit-distance classification (evaluation/alignment/
+    DeltaFromReference.java:24-44: delta = #insertions + #deletions;
+    AlignmentMetrics.java:30-66 derives correct/found from the overlap):
+    full-outer join of the two pair sets, each pair tagged ``both`` /
+    ``only_a`` / ``only_b``. delta = count(status != 'both')."""
+    k = list(keys)
+    da = a.select(*k).distinct().withColumn("_a", F.lit(1))
+    db = b.select(*k).distinct().withColumn("_b", F.lit(1))
+    return (
+        da.join(db, k, "full_outer")
+        .select(
+            *k,
+            F.when(F.col("_a").isNotNull() & F.col("_b").isNotNull(), "both")
+            .when(F.col("_a").isNotNull(), "only_a")
+            .otherwise("only_b")
+            .alias("status"),
+        )
+    )
+
+
 def precision_recall(alignment: DataFrame, gold: DataFrame) -> dict[str, float]:
     """alignment(src_uri, dst_uri) vs gold(src_uri, dst_uri) → P/R/F dict.
     Equality = URI-pair join (Alignment.contains, Alignment.java:147-204)."""

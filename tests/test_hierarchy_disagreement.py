@@ -69,3 +69,34 @@ def test_disagreement_ranks_conflicts_first(spark):
         .first()
     )
     assert top.pair == "conflict"
+
+
+def test_global_confidence_and_alignment_delta(spark):
+    from ontologymatching_spark.operators.evaluate import (
+        alignment_delta,
+        global_confidence,
+    )
+
+    w = spark.createDataFrame(
+        [(1, 0.8), (2, 0.6)], "src_id long, quality double"
+    )
+    assert global_confidence(w) == pytest.approx(0.7)
+
+    a = spark.createDataFrame(
+        [("s1", "d1"), ("s2", "d2")], "src_uri string, dst_uri string"
+    )
+    b = spark.createDataFrame(
+        [("s1", "d1"), ("s3", "d3")], "src_uri string, dst_uri string"
+    )
+    got = {
+        (r.src_uri, r.dst_uri): r.status
+        for r in alignment_delta(a, b).collect()
+    }
+    assert got == {
+        ("s1", "d1"): "both",
+        ("s2", "d2"): "only_a",
+        ("s3", "d3"): "only_b",
+    }
+    # delta (DeltaFromReference) = insertions + deletions
+    delta = sum(1 for s in got.values() if s != "both")
+    assert delta == 2
