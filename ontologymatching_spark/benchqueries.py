@@ -1668,6 +1668,77 @@ FROM v WHERE ROUND(disagreement, 6) >= 0.01
 """
 
 
+def q_order_preservation(spark, sf_dir):
+    """Joslyn order-preservation quality of the tight lev alignment against
+    the decade-bucket hierarchies (JoslynStructuralQuality.java:149-204 /
+    OrderPreservationQM; operators/evaluate.order_preservation): fraction
+    of mapping pairs whose ancestor/descendant/noncomparable order agrees
+    on both sides."""
+    from .operators.evaluate import order_preservation
+
+    align = (
+        q_lev_blocked_pairs(spark, sf_dir)
+        .filter(F.col("lev_sim") >= 0.9)
+        .select(
+            F.col("src_doc_id").alias("src_id"),
+            F.col("dst_doc_id").alias("dst_id"),
+        )
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    par = docs.select(
+        F.col("doc_id").alias("desc_id"),
+        (F.floor(F.col("doc_id") / 10) * 10 + F.col("doc_id") % 2)
+        .cast("long")
+        .alias("anc_id"),
+    ).filter(F.col("desc_id") != F.col("anc_id"))
+    sp = par.filter(F.col("desc_id") % 2 == 0)
+    dp = par.filter(F.col("desc_id") % 2 == 1)
+    return order_preservation(align, sp, dp)
+
+
+SQL_ORDER_PRESERVATION = f"""
+WITH names AS ({_SQL_DOC_NAMES}),
+s AS (SELECT doc_id AS src_doc_id, name AS s_name, block_key FROM names WHERE doc_id % 2 = 0),
+d AS (SELECT doc_id AS dst_doc_id, name AS d_name, block_key FROM names WHERE doc_id % 2 = 1),
+p AS (
+  SELECT src_doc_id, dst_doc_id,
+         ROUND(CASE WHEN length(s_name) = 0 AND length(d_name) = 0 THEN 1.0
+              WHEN least(length(s_name), length(d_name)) = 0 THEN 0.0
+              ELSE 1.0 - least(levenshtein(s_name, d_name),
+                               least(length(s_name), length(d_name)))::DOUBLE
+                         / least(length(s_name), length(d_name))
+         END, 6) AS lev_sim
+  FROM s JOIN d USING (block_key)
+),
+align AS (SELECT DISTINCT src_doc_id AS src_id, dst_doc_id AS dst_id FROM p WHERE lev_sim >= 0.9),
+par AS (
+  SELECT doc_id AS desc_id, (doc_id // 10) * 10 + doc_id % 2 AS anc_id
+  FROM documents WHERE doc_id != (doc_id // 10) * 10 + doc_id % 2
+),
+pp AS (
+  SELECT a1.src_id AS a1, a1.dst_id AS a1p, a2.src_id AS a2, a2.dst_id AS a2p
+  FROM align a1, align a2
+  WHERE a1.src_id < a2.src_id
+     OR (a1.src_id = a2.src_id AND a1.dst_id < a2.dst_id)
+),
+o AS (
+  SELECT pp.*,
+    CASE WHEN ls.desc_id IS NOT NULL THEN 'anc'
+         WHEN gs.desc_id IS NOT NULL THEN 'desc' ELSE 'nc' END AS ord_src,
+    CASE WHEN ld.desc_id IS NOT NULL THEN 'anc'
+         WHEN gd.desc_id IS NOT NULL THEN 'desc' ELSE 'nc' END AS ord_dst
+  FROM pp
+  LEFT JOIN par ls ON ls.anc_id = pp.a1 AND ls.desc_id = pp.a2
+  LEFT JOIN par gs ON gs.anc_id = pp.a2 AND gs.desc_id = pp.a1
+  LEFT JOIN par ld ON ld.anc_id = pp.a1p AND ld.desc_id = pp.a2p
+  LEFT JOIN par gd ON gd.anc_id = pp.a2p AND gd.desc_id = pp.a1p
+)
+SELECT ROUND(1.0 - COALESCE(AVG(CASE WHEN ord_src != ord_dst THEN 1.0 ELSE 0.0 END), 0.0), 6) AS order_quality,
+       COUNT(*) AS n_mapping_pairs
+FROM o
+"""
+
+
 def q_alignment_delta(spark, sf_dir):
     """Alignment delta (DeltaFromReference.java:24-44 edit-distance
     classification / AlignmentMetrics.java overlap counts): the pairs kept,
@@ -1875,6 +1946,7 @@ QUERIES = {
     "disagreement_variance": q_disagreement_variance,
     "hierarchy_mappings": q_hierarchy_mappings,
     "alignment_delta": q_alignment_delta,
+    "order_preservation": q_order_preservation,
     **ROWS_ONLY_QUERIES,
 }
 
@@ -1917,4 +1989,5 @@ ORACLE_SQL = {
     "disagreement_variance": SQL_DISAGREEMENT,
     "hierarchy_mappings": SQL_HIERARCHY,
     "alignment_delta": SQL_ALIGN_DELTA,
+    "order_preservation": SQL_ORDER_PRESERVATION,
 }

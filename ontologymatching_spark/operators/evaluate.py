@@ -80,3 +80,59 @@ def precision_recall(alignment: DataFrame, gold: DataFrame) -> dict[str, float]:
         "ref": n_ref,
         "correct": n_correct,
     }
+
+
+def order_preservation(
+    alignment: DataFrame,
+    src_ancestors: DataFrame,
+    dst_ancestors: DataFrame,
+) -> DataFrame:
+    """Joslyn order-preservation quality (qualityEvaluation/metrics/joslyn/
+    JoslynStructuralQuality.java:149-204 via OrderPreservationQM): for every
+    unordered pair of mappings a1=(a,a'), a2=(b,b'), discrepancy = 1 iff
+    order(a,b) ≠ order(a',b') where order ∈ {ancestor, descendant,
+    noncomparable} against each side's ancestor relation; quality =
+    1 − Σdiscrepancy / C(n,2). → one row (order_quality, n_mapping_pairs).
+
+    The reference's dense double loop is a self-join here; selected
+    alignments are small post-1-1, and at lake scale the metric is computed
+    per component or on a deterministic sample (it is diagnostics, not a
+    pipeline stage). ancestors = (anc_id, desc_id) pairs."""
+    al = alignment.select(F.col("src_id").alias("a"), F.col("dst_id").alias("ap"))
+    l = al.select(F.col("a").alias("a1"), F.col("ap").alias("a1p"))
+    r = al.select(F.col("a").alias("a2"), F.col("ap").alias("a2p"))
+    pairs = l.crossJoin(r).filter(
+        (F.col("a1") < F.col("a2"))
+        | ((F.col("a1") == F.col("a2")) & (F.col("a1p") < F.col("a2p")))
+    )
+
+    def _order(df, x, y, anc, tag):
+        lt = anc.select(
+            F.col("anc_id").alias(x), F.col("desc_id").alias(y),
+            F.lit(True).alias(f"_lt_{tag}"),
+        )
+        gt = anc.select(
+            F.col("desc_id").alias(x), F.col("anc_id").alias(y),
+            F.lit(True).alias(f"_gt_{tag}"),
+        )
+        df = df.join(lt, [x, y], "left").join(gt, [x, y], "left")
+        return df.withColumn(
+            f"ord_{tag}",
+            F.when(F.col(f"_lt_{tag}"), "anc")
+            .when(F.col(f"_gt_{tag}"), "desc")
+            .otherwise("nc"),
+        ).drop(f"_lt_{tag}", f"_gt_{tag}")
+
+    pairs = _order(pairs, "a1", "a2", src_ancestors, "src")
+    pairs = _order(pairs, "a1p", "a2p", dst_ancestors, "dst")
+    return pairs.agg(
+        F.round(
+            1.0
+            - F.coalesce(
+                F.avg((F.col("ord_src") != F.col("ord_dst")).cast("double")),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("order_quality"),
+        F.count(F.lit(1)).alias("n_mapping_pairs"),
+    )

@@ -100,3 +100,22 @@ def test_global_confidence_and_alignment_delta(spark):
     # delta (DeltaFromReference) = insertions + deletions
     delta = sum(1 for s in got.values() if s != "both")
     assert delta == 2
+
+
+def test_order_preservation_metric(spark):
+    from ontologymatching_spark.operators.evaluate import order_preservation
+
+    # src hierarchy: 1 anc 2 ; dst hierarchy: 11 anc 12 / 22 anc 21
+    sp = spark.createDataFrame([(1, 2)], "anc_id long, desc_id long")
+    # preserved case: (1->11, 2->12): ord_src anc, ord_dst anc
+    dp_ok = spark.createDataFrame([(11, 12)], "anc_id long, desc_id long")
+    align = spark.createDataFrame(
+        [(1, 11), (2, 12)], "src_id long, dst_id long"
+    )
+    row = order_preservation(align, sp, dp_ok).collect()[0]
+    assert (row.order_quality, row.n_mapping_pairs) == (1.0, 1)
+
+    # violated case: dst order inverted (12 anc 11) → discrepancy 1
+    dp_bad = spark.createDataFrame([(12, 11)], "anc_id long, desc_id long")
+    row = order_preservation(align, sp, dp_bad).collect()[0]
+    assert (row.order_quality, row.n_mapping_pairs) == (0.0, 1)
