@@ -26,6 +26,19 @@ def write_bucketed(
     """Persist ``df`` as a bucketed+sorted session-catalog table. Joins
     between tables bucketed on the same key/count skip the exchange."""
     keys = [key] if isinstance(key, str) else list(key)
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a previous session's managed-table directory can survive in the
+    # warehouse with no catalog entry (in-memory catalog), which blocks
+    # saveAsTable with LOCATION_ALREADY_EXISTS — clear it
+    import os
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:"):
+        loc = os.path.join(wh[len("file:"):], table.lower())
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
     (
         df.write.mode(mode)
         .bucketBy(n_buckets, keys[0], *keys[1:])
