@@ -1427,16 +1427,20 @@ FROM lev
 
 
 # ---------------------------------------------------------------------------
-# non-SQL-expressible operators (no oracle_sql — the driver records the
-# weaker rows-only check, per contract; these are iterative/fixpoint ops)
+# iterative / fixpoint operators — SQL-checked via recursive CTEs and
+# bounded unrolling (round 2: formerly rows-only; only mssg_senses keeps the
+# weaker rows-only check, its k-means tail being genuinely non-SQL)
 # ---------------------------------------------------------------------------
 
 
 def q_one_to_one_full(spark, sf_dir):
     """FULL iterative greedy/stable-marriage 1-1 selection
-    (scanWithBothConstraints fixpoint) over the TF-IDF pairs — the one-round
-    mutual-best variant is SQL-checked separately; the fixpoint loop is not
-    SQL-expressible."""
+    (scanWithBothConstraints fixpoint) over the TF-IDF pairs. Oracle: greedy
+    matching IS SQL-expressible as a recursive CTE scanning pairs in the
+    deterministic total order (sim DESC, src_uri ASC, dst_uri ASC) — the
+    iterated mutual-best rounds compute exactly the greedy matching (the
+    locally-dominant-edge characterization), so the two formulations
+    hash-match."""
     from .operators.selection import select_one_to_one
 
     pairs = q_tfidf_cosine_pairs(spark, sf_dir).select(
@@ -1454,10 +1458,48 @@ def q_one_to_one_full(spark, sf_dir):
     )
 
 
+# Greedy 1-1 as a recursive CTE: rank all pairs by the deterministic total
+# order, then scan one pair per recursion step, carrying the used src/dst
+# sets as lists. URIs compare as VARCHAR on both sides (the Spark operator
+# orders by the *_uri string columns).
+SQL_ONE_TO_ONE = f"""
+WITH RECURSIVE pr AS (
+  SELECT src_doc_id, dst_doc_id, cosine AS sim,
+         CAST(src_doc_id AS VARCHAR) AS su, CAST(dst_doc_id AS VARCHAR) AS du
+  FROM ({SQL_TFIDF}) WHERE cosine >= 0.3
+),
+ranked AS MATERIALIZED (
+  SELECT src_doc_id, dst_doc_id, sim,
+         ROW_NUMBER() OVER (ORDER BY sim DESC, su ASC, du ASC) AS rn
+  FROM pr
+),
+greedy(rn, taken, srcs, dsts) AS (
+  SELECT 0::BIGINT, FALSE, []::BIGINT[], []::BIGINT[]
+  UNION ALL
+  SELECT r.rn,
+         NOT list_contains(g.srcs, r.src_doc_id)
+           AND NOT list_contains(g.dsts, r.dst_doc_id),
+         CASE WHEN NOT list_contains(g.srcs, r.src_doc_id)
+                   AND NOT list_contains(g.dsts, r.dst_doc_id)
+              THEN list_append(g.srcs, r.src_doc_id) ELSE g.srcs END,
+         CASE WHEN NOT list_contains(g.srcs, r.src_doc_id)
+                   AND NOT list_contains(g.dsts, r.dst_doc_id)
+              THEN list_append(g.dsts, r.dst_doc_id) ELSE g.dsts END
+  FROM greedy g JOIN ranked r ON r.rn = g.rn + 1
+)
+SELECT r.src_doc_id, r.dst_doc_id, ROUND(r.sim, 6) AS sim
+FROM greedy g JOIN ranked r ON r.rn = g.rn
+WHERE g.taken
+"""
+
+
 def q_similarity_flooding_docs(spark, sf_dir):
     """Melnik similarity-flooding fixpoint over doc pairs; the doc graph
-    links each doc to its `source` group (pseudo parent) — iterative
-    propagation is not SQL-expressible."""
+    links each doc to its `source` group (pseudo parent). The bounded
+    (max 5 rounds + early convergence) iteration IS SQL-expressible as 5
+    unrolled CTE steps — inflow terms are quantized on a binary grid inside
+    similarity_flooding, so sums are bit-identical across engines and the
+    DuckDB twin hash-matches (SQL_SF_DOCS below)."""
     from .operators.structural import similarity_flooding
 
     pairs = q_tfidf_cosine_pairs(spark, sf_dir).select(
@@ -1466,7 +1508,9 @@ def q_similarity_flooding_docs(spark, sf_dir):
         F.col("cosine").alias("sim"),
     )
     d = load(spark, sf_dir, "documents")
-    src_hash = F.abs(F.hash("source")).cast("long") + F.lit(10_000_000)
+    # md5-derived group id (NOT F.hash: Murmur3 is engine-local) — the
+    # established engine-portable integer-hash pattern
+    src_hash = _md5int_col(F.col("source")) + F.lit(10_000_000)
     edges = d.select(
         F.col("doc_id").alias("child_id"),
         src_hash.alias("parent_id"),
@@ -1474,10 +1518,12 @@ def q_similarity_flooding_docs(spark, sf_dir):
     )
     # parent pseudo-pairs seeded at 0.5 so flow has somewhere to go
     parents = (
-        edges.select(F.col("parent_id").alias("src_id")).distinct()
-        .crossJoin(edges.select(F.col("parent_id").alias("dst_id")).distinct())
-        .filter(F.col("src_id") == F.col("dst_id"))
-        .withColumn("sim", F.lit(0.5))
+        edges.select(F.col("parent_id")).distinct()
+        .select(
+            F.col("parent_id").alias("src_id"),
+            F.col("parent_id").alias("dst_id"),
+            F.lit(0.5).alias("sim"),
+        )
     )
     sigma = similarity_flooding(
         pairs.unionByName(parents), edges, edges, max_rounds=5
@@ -1487,6 +1533,88 @@ def q_similarity_flooding_docs(spark, sf_dir):
         F.col("dst_id").alias("dst_doc_id"),
         F.round("sim_sf", 6).alias("sim_sf"),
     )
+
+
+def _sql_similarity_flooding_docs(rounds: int = 5, eps: str = "0.001") -> str:
+    """DuckDB twin of q_similarity_flooding_docs: the bounded Melnik fixpoint
+    unrolled into ``rounds`` CTE steps, with the early-convergence break
+    reproduced by selecting the first round whose delta drops under eps.
+    Exact parity holds because similarity_flooding quantizes inflow terms on
+    a 2^-40 binary grid (order-independent exact sums) and rounds each
+    round's sigma to 12 decimals."""
+    q = "1099511627776.0"  # 2^40 — the binary quantization grid
+    parts = [f"""
+WITH sf_edges AS MATERIALIZED (
+  SELECT doc_id AS child,
+         ('0x' || substr(md5(source), 1, 8))::BIGINT + 10000000 AS parent
+  FROM documents
+),
+sf_p0 AS MATERIALIZED (
+  SELECT src_doc_id AS src, dst_doc_id AS dst, cosine AS s0 FROM ({SQL_TFIDF})
+  UNION ALL
+  SELECT DISTINCT parent, parent, 0.5 FROM sf_edges
+),
+sf_fwd AS (
+  SELECT a.src AS fs, a.dst AS fd, es.parent AS ts, ed.parent AS td
+  FROM sf_p0 a
+  JOIN sf_edges es ON es.child = a.src
+  JOIN sf_edges ed ON ed.child = a.dst
+  JOIN sf_p0 b ON b.src = es.parent AND b.dst = ed.parent
+),
+sf_pcg0 AS (
+  SELECT fs, fd, ts, td FROM sf_fwd
+  UNION ALL
+  SELECT f.ts, f.td, f.fs, f.fd FROM sf_fwd f
+),
+sf_pcg AS MATERIALIZED (
+  SELECT p.fs, p.fd, p.ts, p.td, 1.0 / o.deg AS coeff
+  FROM sf_pcg0 p
+  JOIN (SELECT fs, fd, COUNT(*) AS deg FROM sf_pcg0 GROUP BY fs, fd) o
+    ON o.fs = p.fs AND o.fd = p.fd
+),
+sf_sig0 AS MATERIALIZED (
+  SELECT src, dst, s0, CAST(NULL AS DOUBLE) AS s_cur, s0 AS s FROM sf_p0
+)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+sf_sig{k} AS MATERIALIZED (
+  SELECT src, dst, s0, s_cur,
+         ROUND(raw / (CASE WHEN MAX(raw) OVER () IS NULL
+                             OR MAX(raw) OVER () = 0
+                           THEN 1.0 ELSE MAX(raw) OVER () END), 12) AS s
+  FROM (
+    SELECT p.src, p.dst, p.s0, p.s AS s_cur,
+           (p.s0 + p.s) + COALESCE(i.inflow, 0.0) AS raw
+    FROM sf_sig{k - 1} p
+    LEFT JOIN (
+      SELECT c.ts, c.td, SUM(floor(c.coeff * q.s * {q}) / {q}) AS inflow
+      FROM sf_pcg c JOIN sf_sig{k - 1} q ON q.src = c.fs AND q.dst = c.fd
+      GROUP BY c.ts, c.td
+    ) i ON i.ts = p.src AND i.td = p.dst
+  )
+)""")
+    dsel = ", ".join(
+        f"(SELECT MAX(ABS(s - s_cur)) FROM sf_sig{k}) AS d{k}"
+        for k in range(1, rounds)
+    )
+    case = " ".join(
+        f"WHEN dd.d{k} < {eps} THEN g{k}.s" for k in range(1, rounds)
+    )
+    joins = " ".join(
+        f"JOIN sf_sig{k} g{k} ON g{k}.src = gN.src AND g{k}.dst = gN.dst"
+        for k in range(1, rounds)
+    )
+    parts.append(f""",
+sf_d AS (SELECT {dsel})
+SELECT gN.src AS src_doc_id, gN.dst AS dst_doc_id,
+       ROUND(CASE {case} ELSE gN.s END, 6) AS sim_sf
+FROM sf_sig{rounds} gN {joins} CROSS JOIN sf_d dd
+WHERE gN.src < 10000000
+""")
+    return "".join(parts)
+
+
+SQL_SF_DOCS = _sql_similarity_flooding_docs()
 
 
 def q_minhash_cc_clusters(spark, sf_dir):
@@ -1501,6 +1629,24 @@ def q_minhash_cc_clusters(spark, sf_dir):
     return connected_components(pairs).select(
         F.col("entity_id").alias("doc_id"), F.col("component_id").alias("cluster_id")
     )
+
+
+# hash-min fixpoint over the MinHash candidate graph = reachability min-label
+# in a recursive CTE (same shape as SQL_CC, composed over SQL_MINHASH)
+SQL_MINHASH_CC = f"""
+WITH RECURSIVE mh AS ({SQL_MINHASH}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM mh
+  UNION ALL SELECT doc_b, doc_a FROM mh
+),
+verts AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM verts
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+"""
 
 
 def q_hierarchy_mappings(spark, sf_dir):
@@ -1845,20 +1991,20 @@ def q_streaming_sessionize(spark, sf_dir):
             F.sum("n_events").cast("long").alias("n_events"),
         )
     )
-    # NOTE: `root` must outlive the returned (lazy) DataFrame — it reads
-    # the sink parquet; /tmp cleanup is the OS's job
+    # materialize the small aggregate (localCheckpoint cuts the lineage back
+    # to the sink parquet) so the temp tree can be removed NOW instead of
+    # leaking a copy of the events table into /tmp per bench invocation
+    got = got.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
     return got
 
 
-def q_mssg_senses(spark, sf_dir):
-    """MSSG multi-sense discovery over document tokens (the reference
-    thesis's MultiSenseSkipGramEmbeddingModel re-expressed batch-side,
-    operators/embeddings.py): per-occurrence context vectors → per-word
-    max-dot k-means into 2 senses. Rows-only driver check (iterative
-    k-means isn't SQL-expressible); md5-derived token embeddings stand in
-    for trained vectors (deterministic, engine-portable, no RNG)."""
-    from .operators.embeddings import context_vectors, mssg_sense_vectors
+MSSG_DIM = 8
 
+
+def _mssg_docs_vectors(spark, sf_dir):
+    """(docs(doc_id, tokens), vectors(word, vector)) with md5-derived token
+    embeddings — deterministic, engine-portable, no RNG."""
     d = load(spark, sf_dir, "documents")
     docs = d.select("doc_id", _doc_tokens(F.col("text")).alias("tokens"))
     vocab = docs.select(F.explode("tokens").alias("word")).distinct()
@@ -1877,9 +2023,100 @@ def q_mssg_senses(spark, sf_dir):
             ).cast("double")
             / 500.0
         ).cast("float")
-        for i in range(8)
+        for i in range(MSSG_DIM)
     ]
-    vectors = vocab.select("word", F.array(*dims).alias("vector"))
+    return docs, vocab.select("word", F.array(*dims).alias("vector"))
+
+
+def q_mssg_context_vectors(spark, sf_dir):
+    """The MSSG front half — per-occurrence context vectors (elementwise
+    mean of the ±2-window neighbor embeddings, operators/embeddings.
+    context_vectors) — value-hash-checked: per occurrence, the L2 norm and
+    the component sum of the context vector. Neighbor sums are exact in any
+    order (float32 values summed in double), so the DuckDB twin is
+    bit-identical."""
+    from .operators.embeddings import context_vectors
+
+    docs, vectors = _mssg_docs_vectors(spark, sf_dir)
+    ctx = context_vectors(docs, vectors, window=2)
+    norm = F.sqrt(F.aggregate("ctx", F.lit(0.0), lambda a, v: a + v * v))
+    tot = F.aggregate("ctx", F.lit(0.0), lambda a, v: a + v)
+    return ctx.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        "word",
+        # + 0.0 canonicalizes IEEE −0.0 → +0.0 (engines disagree on the sign
+        # of a zero sum; the value-hash sees the string "-0.0")
+        (F.round(norm, 6) + F.lit(0.0)).alias("ctx_norm"),
+        (F.round(tot, 6) + F.lit(0.0)).alias("ctx_sum"),
+    )
+
+
+def _sql_mssg_vec_dims(word_expr: str) -> list[str]:
+    return [
+        f"CAST(CAST((('0x' || substr(md5({word_expr} || '_d{i}'), 1, 8))::BIGINT"
+        f" % 1000 - 500) AS DOUBLE) / 500.0 AS REAL)"
+        for i in range(MSSG_DIM)
+    ]
+
+
+def _sql_mssg_context_vectors() -> str:
+    vdims = ", ".join(
+        f"{e} AS v{i}" for i, e in enumerate(_sql_mssg_vec_dims("nword"))
+    )
+    sums = ", ".join(
+        f"SUM(CAST(v{i} AS DOUBLE)) AS s{i}" for i in range(MSSG_DIM)
+    )
+    cdims = ", ".join(f"s{i} / n AS c{i}" for i in range(MSSG_DIM))
+    # left-assoc fold chains, matching F.aggregate's element order exactly
+    norm2 = "0.0"
+    tot = "0.0"
+    for i in range(MSSG_DIM):
+        norm2 = f"({norm2} + c{i} * c{i})"
+        tot = f"({tot} + c{i})"
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+occ AS (
+  SELECT doc_id, toks, unnest(toks) AS word,
+         generate_subscripts(toks, 1) AS p
+  FROM t
+),
+nb AS (
+  SELECT doc_id, p, word,
+         unnest(list_concat(
+           list_slice(toks, greatest(p - 2, 1), p - 1),
+           list_slice(toks, p + 1, least(p + 2, len(toks)))
+         )) AS nword
+  FROM occ
+),
+nv AS (SELECT doc_id, p, word, {vdims} FROM nb),
+agg AS (
+  SELECT doc_id, p, word, COUNT(*) AS n, {sums}
+  FROM nv GROUP BY doc_id, p, word
+),
+sel AS (SELECT doc_id, p, word, {cdims} FROM agg)
+SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos, word,
+       ROUND(sqrt({norm2}), 6) + 0.0 AS ctx_norm,
+       ROUND({tot}, 6) + 0.0 AS ctx_sum
+FROM sel
+"""
+
+
+SQL_MSSG_CTX = _sql_mssg_context_vectors()
+
+
+def q_mssg_senses(spark, sf_dir):
+    """MSSG multi-sense discovery over document tokens (the reference
+    thesis's MultiSenseSkipGramEmbeddingModel re-expressed batch-side,
+    operators/embeddings.py): per-occurrence context vectors → per-word
+    max-dot k-means into 2 senses. Rows-only driver check (the iterative
+    k-means tail isn't SQL-expressible; the context-vector front half IS
+    value-hash-checked — q_mssg_context_vectors)."""
+    from .operators.embeddings import context_vectors, mssg_sense_vectors
+
+    docs, vectors = _mssg_docs_vectors(spark, sf_dir)
     ctx = context_vectors(docs, vectors, window=2)
     senses = mssg_sense_vectors(ctx, n_senses=2, min_contexts=50)
     return senses.select(
@@ -1896,9 +2133,8 @@ def q_mssg_senses(spark, sf_dir):
 
 
 ROWS_ONLY_QUERIES = {
-    "one_to_one_full": q_one_to_one_full,
-    "similarity_flooding_docs": q_similarity_flooding_docs,
-    "minhash_cc_clusters": q_minhash_cc_clusters,
+    # only the k-means tail remains rows-only; its context-vector front half
+    # is value-hash-checked via mssg_context_vectors
     "mssg_senses": q_mssg_senses,
 }
 
@@ -1947,6 +2183,10 @@ QUERIES = {
     "hierarchy_mappings": q_hierarchy_mappings,
     "alignment_delta": q_alignment_delta,
     "order_preservation": q_order_preservation,
+    "one_to_one_full": q_one_to_one_full,
+    "similarity_flooding_docs": q_similarity_flooding_docs,
+    "minhash_cc_clusters": q_minhash_cc_clusters,
+    "mssg_context_vectors": q_mssg_context_vectors,
     **ROWS_ONLY_QUERIES,
 }
 
@@ -1990,4 +2230,8 @@ ORACLE_SQL = {
     "hierarchy_mappings": SQL_HIERARCHY,
     "alignment_delta": SQL_ALIGN_DELTA,
     "order_preservation": SQL_ORDER_PRESERVATION,
+    "one_to_one_full": SQL_ONE_TO_ONE,
+    "similarity_flooding_docs": SQL_SF_DOCS,
+    "minhash_cc_clusters": SQL_MINHASH_CC,
+    "mssg_context_vectors": SQL_MSSG_CTX,
 }

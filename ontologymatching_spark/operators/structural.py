@@ -139,12 +139,22 @@ def ssc(
     )
 
 
+# Inflow contributions are quantized onto a 2^-40 binary grid before the
+# groupBy sum: every term becomes an exact multiple of 2^-40, so partial sums
+# (bounded well under 2^13) are EXACT doubles in ANY addition order — the sum
+# is bit-identical across partition counts, engines (DuckDB oracle) and
+# cluster sizes. Without this, summing hundreds of doubles is order-sensitive
+# at ~1e-11, which the per-round round(·,12) cannot absorb.
+_Q = float(1 << 40)
+
+
 def similarity_flooding(
     pairs: DataFrame,
     src_edges: DataFrame,
     dst_edges: DataFrame,
     max_rounds: int = 10,
     epsilon: float = 1e-3,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Melnik similarity flooding fixpoint.
 
@@ -154,7 +164,13 @@ def similarity_flooding(
     (propagation coefficients, SimilarityFlooding.java:375-447).
 
     sigma_{i+1} = normalize(sigma_0 + sigma_i + sum_in(coeff * sigma_i)),
-    rounds capped at ROUND_MAX=10, convergence on max per-pair delta."""
+    rounds capped at ROUND_MAX=10, convergence on max per-pair delta.
+
+    One scalar collect per round (not two): the aggregate returns BOTH the
+    normalization max of this round's raw scores AND the convergence delta
+    of the previous transition, so convergence is detected one iteration
+    later at zero extra Spark jobs. ``stats['rounds']`` reports the number
+    of sigma updates applied (guards the fusion in tests)."""
     sigma0 = pairs.select("src_id", "dst_id", F.col("sim").alias("s0"))
 
     se = src_edges.select(
@@ -192,8 +208,12 @@ def similarity_flooding(
         "coeff", F.lit(1.0) / F.col("deg")
     ).localCheckpoint()
 
-    sigma = sigma0.select("src_id", "dst_id", F.col("s0").alias("s")).localCheckpoint()
-    for _ in range(max_rounds):
+    sigma = sigma0.select(
+        "src_id", "dst_id", F.col("s0").alias("s"),
+        F.lit(None).cast("double").alias("s_prev"),
+    ).localCheckpoint()
+    rounds = 0
+    for i in range(max_rounds):
         inflow = (
             pcg.join(
                 sigma.select(
@@ -204,7 +224,11 @@ def similarity_flooding(
                 ["from_src", "from_dst"],
             )
             .groupBy("to_src", "to_dst")
-            .agg(F.sum(F.col("coeff") * F.col("in_s")).alias("inflow"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("coeff") * F.col("in_s") * _Q) / _Q
+                ).alias("inflow")
+            )
             .select(
                 F.col("to_src").alias("src_id"),
                 F.col("to_dst").alias("dst_id"),
@@ -215,22 +239,25 @@ def similarity_flooding(
             sigma0.join(sigma, ["src_id", "dst_id"])
             .join(inflow, ["src_id", "dst_id"], "left")
             .select(
-                "src_id", "dst_id", "s",
+                "src_id", "dst_id", "s", "s_prev",
                 (F.col("s0") + F.col("s") + F.coalesce(F.col("inflow"), F.lit(0.0))
                  ).alias("raw"),
             )
-        )
-        mx = raw.agg(F.max("raw")).collect()[0][0] or 1.0
-        new_sigma = raw.select(
-            "src_id", "dst_id",
-            F.round(F.col("raw") / F.lit(mx), 12).alias("s_new"), "s",
         ).localCheckpoint()
-        delta = new_sigma.agg(
-            F.max(F.abs(F.col("s_new") - F.col("s")))
-        ).collect()[0][0]
-        sigma = new_sigma.select(
-            "src_id", "dst_id", F.col("s_new").alias("s")
-        )
-        if delta is not None and delta < epsilon:
+        # ONE job per round: normalization max + previous-round delta fused
+        row = raw.agg(
+            F.max("raw").alias("mx"),
+            F.max(F.abs(F.col("s") - F.col("s_prev"))).alias("delta"),
+        ).collect()[0]
+        if i > 0 and row.delta is not None and row.delta < epsilon:
             break
+        mx = row.mx or 1.0
+        sigma = raw.select(
+            "src_id", "dst_id",
+            F.round(F.col("raw") / F.lit(mx), 12).alias("s"),
+            F.col("s").alias("s_prev"),
+        ).localCheckpoint()
+        rounds += 1
+    if stats is not None:
+        stats["rounds"] = rounds
     return sigma.select("src_id", "dst_id", F.col("s").alias("sim_sf"))

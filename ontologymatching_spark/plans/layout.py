@@ -27,18 +27,30 @@ def write_bucketed(
     between tables bucketed on the same key/count skip the exchange."""
     keys = [key] if isinstance(key, str) else list(key)
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # a previous session's managed-table directory can survive in the
-    # warehouse with no catalog entry (in-memory catalog), which blocks
-    # saveAsTable with LOCATION_ALREADY_EXISTS — clear it
-    import os
-    import shutil
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # a previous session's managed-table directory can survive in the
+        # warehouse with no catalog entry (in-memory catalog), which blocks
+        # saveAsTable with LOCATION_ALREADY_EXISTS. Clear it ONLY when the
+        # catalog genuinely has no entry left (the stale-orphan case) — an
+        # external table's directory that DROP TABLE deliberately keeps, or
+        # an append target, must never be deleted.
+        import os
+        import shutil
 
-    wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    if wh.startswith("file:"):
-        loc = os.path.join(wh[len("file:"):], table.lower())
-        if os.path.exists(loc):
-            shutil.rmtree(loc)
+        if not spark.catalog.tableExists(table):
+            wh = spark.conf.get("spark.sql.warehouse.dir", "")
+            if wh.startswith("file:"):
+                # qualified names map db.tbl -> <wh>/db.db/tbl
+                parts = table.lower().split(".")
+                rel = (
+                    os.path.join(f"{parts[0]}.db", *parts[1:])
+                    if len(parts) > 1
+                    else parts[0]
+                )
+                loc = os.path.join(wh[len("file:"):], rel)
+                if os.path.exists(loc):
+                    shutil.rmtree(loc)
     (
         df.write.mode(mode)
         .bucketBy(n_buckets, keys[0], *keys[1:])

@@ -12,7 +12,7 @@ every row carries lineage (repo, path, commit, content_sha256 + stage name).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,7 +42,12 @@ class PipelineConfig:
     # into seek thrash on the one shared disk. On a real cluster, where
     # chains land on different executors/disks, it overlaps genuinely
     # independent I/O — hence a knob (KG_OVERLAP=1), default off.
-    overlap_stages: bool = os.environ.get("KG_OVERLAP", "0") == "1"
+    # field(default_factory=...) so the env var is read at PipelineConfig()
+    # construction time, not at module import (a bench harness may import
+    # first and set KG_OVERLAP later)
+    overlap_stages: bool = field(
+        default_factory=lambda: os.environ.get("KG_OVERLAP", "0") == "1"
+    )
 
 
 class KGPipeline:

@@ -146,8 +146,12 @@ def read_txt_alignment(
                 elif len(s) == 3:
                     rows.append((s[0].strip(), s[2].strip(), s[1].strip(), 1.0, None))
                 elif len(s) == 4:
+                    try:
+                        sim = float(s[3])
+                    except ValueError:
+                        continue  # malformed sim → skip line, per docstring
                     rows.append(
-                        (s[0].strip(), s[2].strip(), s[1].strip(), float(s[3]), None)
+                        (s[0].strip(), s[2].strip(), s[1].strip(), sim, None)
                     )
             elif fmt == "ref3":
                 if len(s) == 5:
@@ -155,7 +159,7 @@ def read_txt_alignment(
                 elif len(s) == 4:
                     rows.append((s[1], s[2], "=", 1.0, None))
             elif fmt == "ref5":
-                if len(s) == 5 or (len(s) == 6 and s[1] == "--->"):
+                if (len(s) == 5 or len(s) == 6) and s[1] == "--->":
                     try:
                         sim = float(s[3])
                     except ValueError:

@@ -103,13 +103,19 @@ def test_similarity_flooding_converges_and_boosts_connected(spark, family):
     pairs, sp, dp = family
     se = sp.withColumn("pred", F.lit("declares"))
     de = dp.withColumn("pred", F.lit("declares"))
-    out = structural.similarity_flooding(pairs, se, de, max_rounds=10).toPandas()
+    stats: dict = {}
+    out = structural.similarity_flooding(
+        pairs, se, de, max_rounds=10, stats=stats
+    ).toPandas()
     d = {(r.src_id, r.dst_id): r.sim_sf for r in out.itertuples()}
     assert len(d) == 3
     # all sims normalized into (0, 1], structurally connected pairs keep mass
     assert all(0 < v <= 1.0 for v in d.values())
     # the parent pair receives flow from both child pairs → stays the max
     assert max(d, key=d.get) == (100, 110)
+    # the fused mx+delta collect must not regress convergence detection:
+    # this 3-pair graph converges well before the 10-round cap
+    assert 1 <= stats["rounds"] < 10
 
 
 # ---------------------------------------------------------------------------
