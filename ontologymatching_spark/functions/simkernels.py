@@ -120,11 +120,63 @@ def substring_sim(s1: str, s2: str, min_len: int = 2, p: float = 0.6) -> float:
     return max(0.0, min(1.0, sim))
 
 
+def amsub_sim(s1: str, s2: str) -> float:
+    """AMSubstring metric (`similarity/AMSubstringSim.java:14-107` — distinct
+    from ISub; re-implemented from its documented formula, not the source):
+
+        commonality  = 2 * matched / (len1 + len2), counting only peeled
+                       common substrings of length >= 3
+        fragmentation = (n_substrings - 1) / min(len1, len2),
+                       subtracted only when positive
+        winkler      = prefix bonus (cap 4, scale 0.1) computed on the
+                       *residual* strings left after peeling — NOT the
+                       originals (observed reference behavior)
+        sim          = commonality - fragmentation + winkler
+
+    Quirks preserved: a final common substring of length 1-2 is peeled from
+    the residuals (affecting the Winkler term) but never counted, and
+    identical 2-char strings score 0.0 (no >=3 substring, empty residuals).
+    Deviation: empty-vs-empty → 1.0 / empty-vs-nonempty → 0.0 instead of the
+    reference's 0/0 NaN."""
+    s1, s2 = s1 or "", s2 or ""
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 1.0 if l1 == l2 else 0.0
+
+    t1, t2 = s1, s2
+    matched = 0
+    n_subs = 0
+    while t1 and t2:
+        n, i1, i2 = _longest_common_substring(t1, t2)
+        if n == 0:
+            break
+        t1 = t1[:i1] + t1[i1 + n :]
+        t2 = t2[:i2] + t2[i2 + n :]
+        if n > 2:
+            matched += n
+            n_subs += 1
+        else:
+            break  # short match is peeled (residual!) but not counted
+
+    commonality = 2.0 * matched / (l1 + l2)
+    prefix = 0
+    for a, b in zip(t1, t2):  # residuals, per the reference
+        if a != b or prefix >= 4:
+            break
+        prefix += 1
+    winkler = min(prefix, 4) * 0.1 * (1.0 - commonality)
+    fragmentation = (n_subs - 1) / min(l1, l2)
+    if fragmentation > 0:
+        return commonality - fragmentation + winkler
+    return commonality + winkler
+
+
 def amsub_edit(s1: str, s2: str, w_sub: float = 0.65, w_edit: float = 0.35) -> float:
-    """AMSUB_AND_EDIT — the OAEI default metric: 0.65*substring +
+    """AMSUB_AND_EDIT — the OAEI default metric: 0.65*AMSubstring +
     0.35*normalized-levenshtein (`AMSubEditSim.java:7-18`,
-    weights per `ParametricStringParameters.java:68`)."""
-    return w_sub * substring_sim(s1, s2) + w_edit * levenshtein_min_norm(s1, s2)
+    weights per `ParametricStringParameters.java:68`). Wired to the real
+    AMSub kernel (round 2) — `substring_sim` (ISub) is a separate metric."""
+    return w_sub * amsub_sim(s1, s2) + w_edit * levenshtein_min_norm(s1, s2)
 
 
 def jaro(s1: str, s2: str) -> float:

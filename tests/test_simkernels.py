@@ -33,12 +33,44 @@ def test_substring_sim():
     assert K.substring_sim("aaaa", "bbbb") == 0.0
 
 
+def test_amsub_sim_semantics():
+    # identity with a >=3 substring → exactly 1.0 (commonality 1, frag 0)
+    assert K.amsub_sim("abcdef", "abcdef") == 1.0
+    assert K.amsub_sim("", "") == 1.0
+    assert K.amsub_sim("abc", "") == 0.0
+    # reference quirk preserved: 1-2 char identical strings peel an
+    # uncounted short substring → score 0 (ISub's identity shortcut says 1)
+    assert K.amsub_sim("ab", "ab") == 0.0
+    assert K.substring_sim("ab", "ab") == 1.0
+    # fragmentation penalty: two >=3 peels cost (n_subs-1)/min_len
+    # "abcxdefy" vs "abcdef": common=6 → 12/14; frag = 1/6; no residual prefix
+    assert K.amsub_sim("abcxdefy", "abcdef") == pytest.approx(12 / 14 - 1 / 6)
+
+
+def test_amsub_diverges_from_isub():
+    """AMSub and ISub are distinct metrics (AMSubstringSim.java vs
+    ISubSim.java) — a divergence corpus where they must not agree."""
+    corpus = [
+        ("ab", "ab"),                # identity shortcut vs uncounted peel
+        ("abcxdefy", "abcdef"),      # fragmentation penalty vs u1*u2 diff
+        ("parseTable", "parseTables"),
+        ("loadSortRead", "readSortLoad"),
+    ]
+    diverged = sum(
+        1 for a, b in corpus
+        if abs(K.amsub_sim(a, b) - K.substring_sim(a, b)) > 1e-9
+    )
+    assert diverged >= 3
+
+
 def test_amsub_edit_blend():
     s = K.amsub_edit("handleRequest", "handleReqest")
     assert 0.7 < s <= 1.0
+    # blend wired to the AMSub kernel (not ISub)
     assert K.amsub_edit("x", "x") == pytest.approx(
-        0.65 * K.substring_sim("x", "x") + 0.35 * 1.0
+        0.65 * K.amsub_sim("x", "x") + 0.35 * 1.0
     )
+    assert K.amsub_edit("x", "x") == pytest.approx(0.35)
 
 
 def test_jaro_winkler():
