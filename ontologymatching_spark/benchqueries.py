@@ -1717,6 +1717,146 @@ SELECT DISTINCT * FROM (
 """
 
 
+def q_iism_boosted_pairs(spark, sf_dir):
+    """IISM rule families over the lev-blocked pairs (operators/iism.py;
+    IterativeInstanceStructuralMatcher semantics): the range/domain rule
+    (deterministic signatures — decade-bucket domains, md5-derived range
+    types with null gaps and a primitive damp) and the property-values rule
+    (token-window value sets), each firing a 0.15 boost toward 1.0. Output:
+    per pair, both rule sims and the boosted similarity."""
+    from .operators.iism import _boost, range_domain_sim, values_sim
+
+    base = q_lev_blocked_pairs(spark, sf_dir).select(
+        F.col("src_doc_id").alias("src_id"),
+        F.col("dst_doc_id").alias("dst_id"),
+        F.col("lev_sim").alias("sim"),
+    )
+    d = load(spark, sf_dir, "documents")
+    toks = _doc_tokens(F.col("text"))
+    decade = (F.floor(F.col("doc_id") / 10) * 10 + F.col("doc_id") % 2).cast(
+        "long"
+    )
+    rng = _md5int_col(F.element_at(toks, 1)) % 50
+    kind = F.element_at(
+        F.array(F.lit("function"), F.lit("class"), F.lit("module")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    sig = d.select(
+        F.col("doc_id").alias("entity_id"),
+        kind.alias("kind"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(decade)
+        .alias("domain_id"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("long"))
+        .otherwise(rng)
+        .alias("range_id"),
+        (rng % 4 == 0).alias("range_primitive"),
+    )
+    ad = (
+        d.select((F.floor(F.col("doc_id") / 10) * 10).cast("long").alias("s_domain"))
+        .distinct()
+        .select("s_domain", (F.col("s_domain") + 1).alias("d_domain"))
+    )
+    vals = d.select(
+        F.col("doc_id").alias("entity_id"),
+        F.explode(F.slice(toks, 2, 3)).alias("value"),
+    )
+    cur = range_domain_sim(
+        base,
+        sig.filter(F.col("entity_id") % 2 == 0),
+        sig.filter(F.col("entity_id") % 2 == 1),
+        ad,
+    )
+    cur = cur.withColumn("sim", _boost(F.col("sim"), F.col("sim_rd") >= 0.85, 0.15))
+    cur = values_sim(
+        cur,
+        vals.filter(F.col("entity_id") % 2 == 0),
+        vals.filter(F.col("entity_id") % 2 == 1),
+    )
+    cur = cur.withColumn("sim", _boost(F.col("sim"), F.col("sim_pv") >= 0.5, 0.15))
+    return cur.select(
+        F.col("src_id").alias("src_doc_id"),
+        F.col("dst_id").alias("dst_doc_id"),
+        F.round("sim_rd", 6).alias("sim_rd"),
+        F.round("sim_pv", 6).alias("sim_pv"),
+        F.round("sim", 6).alias("sim_boosted"),
+    )
+
+
+SQL_IISM = f"""
+WITH base0 AS ({SQL_LEV_PAIRS}),
+base AS (SELECT src_doc_id AS src_id, dst_doc_id AS dst_id, lev_sim AS sim FROM base0),
+sig AS (
+  SELECT doc_id AS entity_id,
+         CASE doc_id % 3 WHEN 0 THEN 'function' WHEN 1 THEN 'class'
+              ELSE 'module' END AS kind,
+         CASE WHEN doc_id % 7 = 0 THEN NULL
+              ELSE (doc_id // 10) * 10 + doc_id % 2 END AS domain_id,
+         CASE WHEN doc_id % 5 = 0 THEN NULL ELSE rng END AS range_id,
+         rng % 4 = 0 AS range_primitive
+  FROM (SELECT doc_id,
+               ('0x' || substr(md5(string_split_regex(trim(text), '\\s+')[1]), 1, 8))::BIGINT % 50 AS rng
+        FROM documents)
+),
+ad AS (SELECT DISTINCT (doc_id // 10) * 10 AS s_domain,
+                       (doc_id // 10) * 10 + 1 AS d_domain
+       FROM documents),
+vals AS (SELECT DISTINCT doc_id AS entity_id,
+                unnest(list_slice(string_split_regex(trim(text), '\\s+'), 2, 4)) AS value
+         FROM documents),
+rd AS (
+  SELECT b.src_id, b.dst_id, b.sim,
+    CASE WHEN ss.kind <> ds.kind THEN 0.0 ELSE (
+      CASE WHEN ss.domain_id IS NULL AND ds.domain_id IS NULL THEN 0.8
+           WHEN ss.domain_id IS NULL OR ds.domain_id IS NULL THEN 0.0
+           WHEN ss.domain_id = ds.domain_id OR a.s_domain IS NOT NULL THEN 1.0
+           ELSE 0.0 END
+      +
+      CASE WHEN ss.range_id IS NULL AND ds.range_id IS NULL THEN 0.8
+           WHEN ss.range_id IS NULL OR ds.range_id IS NULL THEN 0.0
+           ELSE (CASE WHEN ss.range_id = ds.range_id THEN 1.0 ELSE 0.0 END)
+                * (CASE WHEN COALESCE(ds.range_primitive, FALSE) THEN 0.75
+                        ELSE 1.0 END)
+      END
+    ) / 2 END AS sim_rd
+  FROM base b
+  LEFT JOIN sig ss ON ss.entity_id = b.src_id
+  LEFT JOIN sig ds ON ds.entity_id = b.dst_id
+  LEFT JOIN ad a ON a.s_domain = ss.domain_id AND a.d_domain = ds.domain_id
+),
+b1 AS (
+  SELECT src_id, dst_id, sim_rd,
+         CASE WHEN sim_rd >= 0.85 THEN ROUND(sim + 0.15 * (1.0 - sim), 12)
+              ELSE sim END AS sim
+  FROM rd
+),
+nv AS (SELECT entity_id, COUNT(*) AS n FROM vals GROUP BY entity_id),
+inter AS (
+  SELECT b.src_id, b.dst_id, COUNT(*) AS n_common
+  FROM b1 b
+  JOIN vals sv ON sv.entity_id = b.src_id
+  JOIN vals dv ON dv.entity_id = b.dst_id AND dv.value = sv.value
+  GROUP BY b.src_id, b.dst_id
+),
+pv AS (
+  SELECT b.src_id, b.dst_id, b.sim_rd, b.sim,
+         CASE WHEN ns.n IS NULL OR nd.n IS NULL THEN 0.0
+              ELSE COALESCE(i.n_common, 0)::DOUBLE / greatest(ns.n, nd.n)
+         END AS sim_pv
+  FROM b1 b
+  LEFT JOIN nv ns ON ns.entity_id = b.src_id
+  LEFT JOIN nv nd ON nd.entity_id = b.dst_id
+  LEFT JOIN inter i ON i.src_id = b.src_id AND i.dst_id = b.dst_id
+)
+SELECT src_id AS src_doc_id, dst_id AS dst_doc_id,
+       ROUND(sim_rd, 6) AS sim_rd,
+       ROUND(sim_pv, 6) AS sim_pv,
+       ROUND(CASE WHEN sim_pv >= 0.5 THEN ROUND(sim + 0.15 * (1.0 - sim), 12)
+                  ELSE sim END, 6) AS sim_boosted
+FROM pv
+"""
+
+
 def q_disagreement_variance(spark, sf_dir):
     """Matcher-disagreement metric (VarianceDisagreement.java:30-62,
     VarianceComputation.java:20-50): per-pair population variance of the
@@ -2183,6 +2323,7 @@ QUERIES = {
     "hierarchy_mappings": q_hierarchy_mappings,
     "alignment_delta": q_alignment_delta,
     "order_preservation": q_order_preservation,
+    "iism_boosted_pairs": q_iism_boosted_pairs,
     "one_to_one_full": q_one_to_one_full,
     "similarity_flooding_docs": q_similarity_flooding_docs,
     "minhash_cc_clusters": q_minhash_cc_clusters,
@@ -2230,6 +2371,7 @@ ORACLE_SQL = {
     "hierarchy_mappings": SQL_HIERARCHY,
     "alignment_delta": SQL_ALIGN_DELTA,
     "order_preservation": SQL_ORDER_PRESERVATION,
+    "iism_boosted_pairs": SQL_IISM,
     "one_to_one_full": SQL_ONE_TO_ONE,
     "similarity_flooding_docs": SQL_SF_DOCS,
     "minhash_cc_clusters": SQL_MINHASH_CC,

@@ -1,19 +1,28 @@
 """IISM — iterative instance/structural refinement
-(IterativeInstanceStructuralMatcher.java:92-155 driver; rules :324,643,1035,
-1191). Each rule is a DataFrame join + conditional boost over the pair
-table; the driver iterates rules until no pair crosses the acceptance
-threshold anymore (bounded rounds).
+(IterativeInstanceStructuralMatcher.java:92-155 driver). Each rule family is
+a DataFrame join + conditional boost over the pair table; the driver
+iterates rules for bounded rounds.
 
-Code-graft rules:
-  parent rule   (superclass boost :324): if the two entities' parents are
-                aligned above ``parent_thr``, boost the pair.
-  usage rule    (property-usage :1035): if the sets of modules importing the
-                two entities overlap through aligned modules, boost.
-  sibling rule  (union/siblings :1191): if >=2 sibling pairs are aligned,
-                boost.
+Code-graft rule families (reference provenance per rule):
+  parent rule        (matchSuperclasses :1034-1070): if the two entities'
+                     parents are aligned above ``parent_thr``, boost.
+  sibling rule       (subclasses-set comparison :560-625): if >=2 sibling
+                     pairs are aligned, boost the family's pairs.
+  range/domain rule  (matchRangeAndDomain / rangeAndDomainSimilarity
+                     :1191-1250): sim_rd = (domainSim + rangeSim)/2 with
+                     the reference's exact gates — kind mismatch → 0, one
+                     side missing domain/range → 0, both missing → 0.8,
+                     primitive target range damps rangeSim ×0.75.
+  usage rule         (matchPropertyUsage :643-710): usage sets must have
+                     EQUAL nonzero size; sim_use = aligned-usage matches /
+                     size.
+  values rule        (matchPropertyValues :324-373): sim_pv = |V1 ∩ V2| /
+                     max(|V1|, |V2|) over distinct value sets.
+
 Boosts are multiplicative toward 1.0: sim' = sim + boost*(1-sim), mirroring
-the reference's allBoost parameters (thresholds .5-.89,
-OAEI2011Matcher.java:209-231).
+the reference's boost* parameters (thresholds .5-.89,
+OAEI2011Matcher.java:209-231; the reference sets boosted sims straight to
+1.0 — the softer blend keeps the combination stage monotone).
 """
 
 from __future__ import annotations
@@ -28,6 +37,162 @@ def _boost(sim_col, flag_col, boost: float):
     ).otherwise(sim_col)
 
 
+def range_domain_sim(
+    pairs: DataFrame,
+    src_sig: DataFrame,
+    dst_sig: DataFrame,
+    aligned_domains: DataFrame,
+) -> DataFrame:
+    """Append ``sim_rd`` per pair (rangeAndDomainSimilarity :1191-1250).
+
+    ``*_sig``: (entity_id, kind, domain_id nullable, range_id nullable,
+    range_primitive boolean). ``aligned_domains``: (s_domain, d_domain)
+    accepted domain-entity alignments. Semantics mirrored exactly:
+      kind mismatch → 0; domain/range present on one side only → 0;
+      both domains missing → domainSim 0.8, else 1.0 iff equal-or-aligned
+      else 0; ranges both missing → 0.8, else equality (×0.75 when the
+      dst range is primitive); sim_rd = (domainSim + rangeSim) / 2."""
+    ss = src_sig.select(
+        F.col("entity_id").alias("src_id"), F.col("kind").alias("s_kind"),
+        F.col("domain_id").alias("s_dom"), F.col("range_id").alias("s_rng"),
+    )
+    ds = dst_sig.select(
+        F.col("entity_id").alias("dst_id"), F.col("kind").alias("d_kind"),
+        F.col("domain_id").alias("d_dom"), F.col("range_id").alias("d_rng"),
+        F.col("range_primitive").alias("d_rng_prim"),
+    )
+    ad = aligned_domains.select(
+        F.col("s_domain").alias("s_dom"), F.col("d_domain").alias("d_dom")
+    ).withColumn("dom_aligned", F.lit(True))
+    j = (
+        pairs.join(ss, "src_id", "left")
+        .join(ds, "dst_id", "left")
+        .join(ad, ["s_dom", "d_dom"], "left")
+    )
+    dom_sim = (
+        F.when(F.col("s_dom").isNull() & F.col("d_dom").isNull(), 0.8)
+        .when(F.col("s_dom").isNull() | F.col("d_dom").isNull(), 0.0)
+        .when(
+            (F.col("s_dom") == F.col("d_dom"))
+            | F.coalesce(F.col("dom_aligned"), F.lit(False)),
+            1.0,
+        )
+        .otherwise(0.0)
+    )
+    rng_eq = F.when(F.col("s_rng") == F.col("d_rng"), 1.0).otherwise(0.0)
+    rng_sim = (
+        F.when(F.col("s_rng").isNull() & F.col("d_rng").isNull(), 0.8)
+        .when(F.col("s_rng").isNull() | F.col("d_rng").isNull(), 0.0)
+        .otherwise(
+            rng_eq
+            * F.when(F.coalesce(F.col("d_rng_prim"), F.lit(False)), 0.75)
+            .otherwise(1.0)
+        )
+    )
+    sim_rd = F.when(
+        F.col("s_kind") != F.col("d_kind"), 0.0
+    ).otherwise((dom_sim + rng_sim) / 2)
+    return j.withColumn("sim_rd", sim_rd).drop(
+        "s_kind", "d_kind", "s_dom", "d_dom", "s_rng", "d_rng",
+        "d_rng_prim", "dom_aligned",
+    )
+
+
+def usage_sim(
+    pairs: DataFrame,
+    src_usage: DataFrame,
+    dst_usage: DataFrame,
+    accepted: DataFrame,
+) -> DataFrame:
+    """Append ``sim_use`` (matchPropertyUsage :643-710): the two entities'
+    user sets (modules importing/calling them) must have EQUAL nonzero size
+    (the reference's l1.size()==l2.size() gate); sim_use = number of user
+    pairs aligned by ``accepted`` / size (the count of aligned pairs stands
+    in for the reference's optimalAlignment over the restriction matrix —
+    each accepted alignment is 1-1, so the count is the matching size).
+    ``*_usage``: (entity_id, user_id)."""
+    su = src_usage.select(
+        F.col("entity_id").alias("src_id"), F.col("user_id").alias("s_user")
+    ).distinct()
+    du = dst_usage.select(
+        F.col("entity_id").alias("dst_id"), F.col("user_id").alias("d_user")
+    ).distinct()
+    sn = su.groupBy("src_id").agg(F.count("*").alias("n_s"))
+    dn = du.groupBy("dst_id").agg(F.count("*").alias("n_d"))
+    acc = accepted.select(
+        F.col("src_id").alias("s_user"), F.col("dst_id").alias("d_user")
+    ).distinct()
+    matched = (
+        pairs.select("src_id", "dst_id")
+        .join(su, "src_id")
+        .join(du, "dst_id")
+        .join(acc, ["s_user", "d_user"])
+        .groupBy("src_id", "dst_id")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    return (
+        pairs.join(sn, "src_id", "left")
+        .join(dn, "dst_id", "left")
+        .join(matched, ["src_id", "dst_id"], "left")
+        .withColumn(
+            "sim_use",
+            F.when(
+                F.col("n_s").isNull()
+                | F.col("n_d").isNull()
+                | (F.col("n_s") != F.col("n_d")),
+                0.0,
+            ).otherwise(
+                F.least(
+                    F.coalesce(F.col("n_matched"), F.lit(0)), F.col("n_s")
+                ).cast("double")
+                / F.col("n_s")
+            ),
+        )
+        .drop("n_s", "n_d", "n_matched")
+    )
+
+
+def values_sim(
+    pairs: DataFrame,
+    src_values: DataFrame,
+    dst_values: DataFrame,
+) -> DataFrame:
+    """Append ``sim_pv`` (matchPropertyValues :324-373): over DISTINCT value
+    sets, sim = |V1 ∩ V2| / max(|V1|, |V2|); pairs where either side has no
+    values keep 0 (the reference `continue`s them). ``*_values``:
+    (entity_id, value)."""
+    sv = src_values.select(
+        F.col("entity_id").alias("src_id"), F.col("value").alias("v")
+    ).distinct()
+    dv = dst_values.select(
+        F.col("entity_id").alias("dst_id"), F.col("value").alias("v")
+    ).distinct()
+    sn = sv.groupBy("src_id").agg(F.count("*").alias("nv_s"))
+    dn = dv.groupBy("dst_id").agg(F.count("*").alias("nv_d"))
+    inter = (
+        pairs.select("src_id", "dst_id")
+        .join(sv, "src_id")
+        .join(dv, ["dst_id", "v"])
+        .groupBy("src_id", "dst_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        pairs.join(sn, "src_id", "left")
+        .join(dn, "dst_id", "left")
+        .join(inter, ["src_id", "dst_id"], "left")
+        .withColumn(
+            "sim_pv",
+            F.when(
+                F.col("nv_s").isNull() | F.col("nv_d").isNull(), 0.0
+            ).otherwise(
+                F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+                / F.greatest(F.col("nv_s"), F.col("nv_d"))
+            ),
+        )
+        .drop("nv_s", "nv_d", "n_common")
+    )
+
+
 def iism(
     pairs: DataFrame,
     src_parents: DataFrame,
@@ -36,8 +201,27 @@ def iism(
     parent_thr: float = 0.6,
     boost: float = 0.15,
     rounds: int = 2,
+    src_sig: DataFrame | None = None,
+    dst_sig: DataFrame | None = None,
+    aligned_domains: DataFrame | None = None,
+    src_usage: DataFrame | None = None,
+    dst_usage: DataFrame | None = None,
+    src_values: DataFrame | None = None,
+    dst_values: DataFrame | None = None,
+    rd_thr: float = 0.85,
+    use_thr: float = 0.6,
+    pv_thr: float = 0.5,
 ) -> DataFrame:
     """pairs(src_id, dst_id, sim) → same with refined sim (sim_iism).
+
+    Always applies the parent and sibling rules. When the corresponding
+    side tables are provided, also applies the range/domain rule
+    (``src_sig``/``dst_sig``/``aligned_domains``), the usage rule
+    (``src_usage``/``dst_usage``) and the values rule (``src_values``/
+    ``dst_values``) — each fires a ``boost`` toward 1.0 when its rule
+    similarity crosses its threshold (the reference sets boosted mappings
+    straight into the matrix; rd_thr/use_thr/pv_thr mirror
+    getRangeDomainThreshold / property usage / getPropertyValuesThreshold).
 
     ``alignment_seed`` (optional) is a prior accepted alignment; when absent
     the over-threshold pairs of the current round seed the rules, iterated
@@ -102,8 +286,45 @@ def iism(
                 "sim_iism", _boost(F.col("sim_iism"), F.col("fs"), boost / 2)
             )
             .drop("fs")
-            .localCheckpoint()
         )
+
+        # range/domain rule
+        if src_sig is not None and dst_sig is not None:
+            ad = (
+                aligned_domains
+                if aligned_domains is not None
+                else accepted.select(
+                    F.col("src_id").alias("s_domain"),
+                    F.col("dst_id").alias("d_domain"),
+                )
+            )
+            cur = range_domain_sim(
+                cur.withColumnRenamed("sim_iism", "sim"), src_sig, dst_sig, ad
+            )
+            cur = cur.withColumn(
+                "sim", _boost(F.col("sim"), F.col("sim_rd") >= rd_thr, boost)
+            ).select("src_id", "dst_id", F.col("sim").alias("sim_iism"))
+
+        # usage rule
+        if src_usage is not None and dst_usage is not None:
+            cur = usage_sim(
+                cur.withColumnRenamed("sim_iism", "sim"),
+                src_usage, dst_usage, accepted,
+            )
+            cur = cur.withColumn(
+                "sim", _boost(F.col("sim"), F.col("sim_use") >= use_thr, boost)
+            ).select("src_id", "dst_id", F.col("sim").alias("sim_iism"))
+
+        # values rule
+        if src_values is not None and dst_values is not None:
+            cur = values_sim(
+                cur.withColumnRenamed("sim_iism", "sim"), src_values, dst_values
+            )
+            cur = cur.withColumn(
+                "sim", _boost(F.col("sim"), F.col("sim_pv") >= pv_thr, boost)
+            ).select("src_id", "dst_id", F.col("sim").alias("sim_iism"))
+
+        cur = cur.localCheckpoint()
     return pairs.join(cur, ["src_id", "dst_id"]).select(
         "src_id", "dst_id", "sim", "sim_iism"
     )

@@ -180,3 +180,149 @@ def test_iism_parent_and_sibling_boost(spark, family):
     assert d[(2, 12)] == pytest.approx(0.52)
     # parent pair has no parents → unchanged
     assert d[(100, 110)] == pytest.approx(0.9)
+
+
+def test_iism_range_domain_rule(spark, family):
+    from ontologymatching_spark.operators import iism as iism_mod
+
+    pairs, _, _ = family
+    src_sig = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "entity_id": [1, 2, 100],
+                "kind": ["function", "function", "module"],
+                "domain_id": [100, 100, None],
+                "range_id": [7, 8, None],
+                "range_primitive": [False, True, False],
+            }
+        )
+    )
+    dst_sig = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "entity_id": [11, 12, 110],
+                "kind": ["function", "method", "module"],
+                "domain_id": [110, 110, None],
+                "range_id": [7, 8, None],
+                "range_primitive": [False, True, False],
+            }
+        )
+    )
+    ad = spark.createDataFrame(
+        pd.DataFrame({"s_domain": [100], "d_domain": [110]})
+    )
+    out = iism_mod.range_domain_sim(pairs, src_sig, dst_sig, ad).toPandas()
+    d = {(r.src_id, r.dst_id): r.sim_rd for r in out.itertuples()}
+    # (1,11): domains aligned (1.0), ranges equal non-primitive (1.0) → 1.0
+    assert d[(1, 11)] == pytest.approx(1.0)
+    # (2,12): kind mismatch function vs method → 0 (reference's type gate)
+    assert d[(2, 12)] == 0.0
+    # (100,110): both domains AND ranges missing → (0.8+0.8)/2 = 0.8
+    assert d[(100, 110)] == pytest.approx(0.8)
+
+
+def test_iism_range_domain_primitive_damp(spark):
+    from ontologymatching_spark.operators import iism as iism_mod
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"src_id": [1], "dst_id": [11], "sim": [0.5]})
+    )
+    sig_s = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "entity_id": [1], "kind": ["function"], "domain_id": [100],
+                "range_id": [7], "range_primitive": [True],
+            }
+        )
+    )
+    sig_d = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "entity_id": [11], "kind": ["function"], "domain_id": [110],
+                "range_id": [7], "range_primitive": [True],
+            }
+        )
+    )
+    ad = spark.createDataFrame(
+        pd.DataFrame({"s_domain": [100], "d_domain": [110]})
+    )
+    out = iism_mod.range_domain_sim(pairs, sig_s, sig_d, ad).toPandas()
+    # primitive dst range damps rangeSim ×0.75 → (1.0 + 0.75)/2 = 0.875
+    assert out["sim_rd"].iloc[0] == pytest.approx(0.875)
+
+
+def test_iism_usage_rule(spark):
+    from ontologymatching_spark.operators import iism as iism_mod
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {"src_id": [1, 2], "dst_id": [11, 12], "sim": [0.5, 0.5]}
+        )
+    )
+    su = spark.createDataFrame(
+        pd.DataFrame(
+            {"entity_id": [1, 1, 2], "user_id": [201, 202, 203]}
+        )
+    )
+    du = spark.createDataFrame(
+        pd.DataFrame(
+            {"entity_id": [11, 11, 12, 12], "user_id": [301, 302, 303, 304]}
+        )
+    )
+    accepted = spark.createDataFrame(
+        pd.DataFrame({"src_id": [201, 202], "dst_id": [301, 302]})
+    )
+    out = iism_mod.usage_sim(pairs, su, du, accepted).toPandas()
+    d = {(r.src_id, r.dst_id): r.sim_use for r in out.itertuples()}
+    # (1,11): |users|=2=2, both user pairs aligned → 2/2 = 1.0
+    assert d[(1, 11)] == pytest.approx(1.0)
+    # (2,12): sizes 1 vs 2 differ → 0 (equal-size gate)
+    assert d[(2, 12)] == 0.0
+
+
+def test_iism_values_rule(spark):
+    from ontologymatching_spark.operators import iism as iism_mod
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {"src_id": [1, 2], "dst_id": [11, 12], "sim": [0.5, 0.5]}
+        )
+    )
+    sv = spark.createDataFrame(
+        pd.DataFrame(
+            {"entity_id": [1, 1, 1, 2], "value": ["a", "b", "b", "x"]}
+        )
+    )
+    dv = spark.createDataFrame(
+        pd.DataFrame(
+            {"entity_id": [11, 11, 11], "value": ["a", "b", "c"]}
+        )
+    )
+    out = iism_mod.values_sim(pairs, sv, dv).toPandas()
+    d = {(r.src_id, r.dst_id): r.sim_pv for r in out.itertuples()}
+    # V1={a,b} (dup collapsed), V2={a,b,c} → 2/3
+    assert d[(1, 11)] == pytest.approx(2 / 3)
+    # dst 12 has no values → 0 (reference continues empty lists)
+    assert d[(2, 12)] == 0.0
+
+
+def test_iism_driver_applies_new_rules(spark, family):
+    from ontologymatching_spark.operators import iism as iism_mod
+
+    pairs, sp, dp = family
+    sv = spark.createDataFrame(
+        pd.DataFrame({"entity_id": [1, 2], "value": ["v1", "v2"]})
+    )
+    dv = spark.createDataFrame(
+        pd.DataFrame({"entity_id": [11, 12], "value": ["v1", "zz"]})
+    )
+    out = iism_mod.iism(
+        pairs, sp, dp, parent_thr=0.6, boost=0.2, rounds=1,
+        src_values=sv, dst_values=dv, pv_thr=0.5,
+    )
+    d = {(r.src_id, r.dst_id): r.sim_iism for r in out.toPandas().itertuples()}
+    # (1,11): parent boost 0.8→0.84, then values rule (1/1=1.0 ≥ .5)
+    # fires: 0.84 + 0.2*0.16 = 0.872
+    assert d[(1, 11)] == pytest.approx(0.872)
+    # (2,12): values disjoint → only parent boost: 0.52
+    assert d[(2, 12)] == pytest.approx(0.52)
