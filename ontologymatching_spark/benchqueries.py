@@ -2025,6 +2025,197 @@ FROM o
 """
 
 
+def q_joslyn_distance_quality(spark, sf_dir):
+    """Joslyn distance-metric family (UpperDistancePreservationQM /
+    LowerDistancePreservationQM / OrderDiscrepancyQM via
+    JoslynStructuralQuality — operators/evaluate.distance_preservation,
+    order_discrepancy) of the tight lev alignment against 3-level
+    deterministic hierarchies (doc → decade → century buckets per side).
+    One row: upper/lower distance-preservation qualities + raw order
+    discrepancy + pair count."""
+    from .operators.evaluate import distance_preservation, order_discrepancy
+
+    align = (
+        q_lev_blocked_pairs(spark, sf_dir)
+        .filter(F.col("lev_sim") >= 0.9)
+        .select(
+            F.col("src_doc_id").alias("src_id"),
+            F.col("dst_doc_id").alias("dst_id"),
+        )
+        .cache()
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    dec = (F.floor(F.col("doc_id") / 10) * 10 + F.col("doc_id") % 2).cast("long")
+    cen = (F.floor(F.col("doc_id") / 100) * 100 + F.col("doc_id") % 2).cast("long")
+    anc = (
+        d.select(dec.alias("anc_id"), F.col("doc_id").alias("desc_id"))
+        .filter(F.col("anc_id") != F.col("desc_id"))
+        .unionByName(
+            d.select(cen.alias("anc_id"), F.col("doc_id").alias("desc_id"))
+            .filter(F.col("anc_id") != F.col("desc_id"))
+        )
+        .dropDuplicates(["anc_id", "desc_id"])
+        .cache()
+    )
+    sanc = anc.filter(F.col("desc_id") % 2 == 0)
+    danc = anc.filter(F.col("desc_id") % 2 == 1)
+    snodes = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("node_id")
+    )
+    dnodes = d.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("node_id")
+    )
+    up = distance_preservation(align, sanc, danc, snodes, dnodes, mode="upper")
+    lo = distance_preservation(align, sanc, danc, snodes, dnodes, mode="lower")
+    od = order_discrepancy(align, sanc, danc)
+    return (
+        up.select(
+            F.col("quality").alias("upper_quality"), "n_mapping_pairs"
+        )
+        .crossJoin(lo.select(F.col("quality").alias("lower_quality")))
+        .crossJoin(od.select("order_discrepancy"))
+    )
+
+
+def _sql_joslyn_distance_quality() -> str:
+    """DuckDB twin of q_joslyn_distance_quality (mechanical: same alignment,
+    same 3-level closure, same d(a,b) = n(a)+n(b)-2*max_common formula and
+    per-side top-bottom diameters)."""
+
+    def diam(par: int) -> str:
+        nn = f"(SELECT COUNT(*) FROM documents WHERE doc_id % 2 = {par})"
+        roots = (
+            f"(SELECT COUNT(*) FROM documents WHERE doc_id % 2 = {par} AND "
+            f"doc_id NOT IN (SELECT DISTINCT desc_id FROM anc WHERE desc_id % 2 = {par}))"
+        )
+        leaves = (
+            f"(SELECT COUNT(*) FROM documents WHERE doc_id % 2 = {par} AND "
+            f"doc_id NOT IN (SELECT DISTINCT anc_id FROM anc WHERE desc_id % 2 = {par}))"
+        )
+        return (
+            f"GREATEST(({nn} - 1 + CASE WHEN {roots} = 1 THEN 0 ELSE 1 END"
+            f" + CASE WHEN {leaves} = 1 THEN 0 ELSE 1 END)::DOUBLE, 1.0)"
+        )
+
+    def side(tag: str, par: int, mode: str, xc: str, yc: str) -> str:
+        if mode == "upper":
+            mem = (f"SELECT desc_id AS node, anc_id AS c FROM anc "
+                   f"WHERE desc_id % 2 = {par}")
+        else:
+            mem = (f"SELECT anc_id AS node, desc_id AS c FROM anc "
+                   f"WHERE desc_id % 2 = {par}")
+        return f"""
+mem_{tag} AS ({mem}),
+n_{tag} AS (SELECT node, COUNT(*) AS n FROM mem_{tag} GROUP BY node),
+np_{tag} AS (SELECT DISTINCT {xc} AS x, {yc} AS y FROM mp),
+com_{tag} AS (
+  SELECT q.x, q.y, MAX(COALESCE(nc.n, 0)) AS maxc
+  FROM np_{tag} q
+  JOIN mem_{tag} m1 ON m1.node = q.x
+  JOIN mem_{tag} m2 ON m2.node = q.y AND m2.c = m1.c
+  LEFT JOIN n_{tag} nc ON nc.node = m1.c
+  GROUP BY q.x, q.y
+),
+d_{tag} AS (
+  SELECT q.x, q.y,
+         (COALESCE(na.n, 0) + COALESCE(nb.n, 0)
+          - 2 * COALESCE(cm.maxc, 0))::DOUBLE / dm_{tag}.v AS dist
+  FROM np_{tag} q
+  LEFT JOIN n_{tag} na ON na.node = q.x
+  LEFT JOIN n_{tag} nb ON nb.node = q.y
+  LEFT JOIN com_{tag} cm ON cm.x = q.x AND cm.y = q.y
+  CROSS JOIN dm_{tag}
+)"""
+
+    diams = ",\n".join(
+        f"dm_{tag} AS (SELECT {diam(par)} AS v)"
+        for tag, par in [
+            ("su", 0), ("du", 1), ("sl", 0), ("dl", 1),
+        ]
+    )
+    sides = ",".join(
+        side(tag, par, mode, xc, yc)
+        for tag, par, mode, xc, yc in [
+            ("su", 0, "upper", "a1", "a2"),
+            ("du", 1, "upper", "a1p", "a2p"),
+            ("sl", 0, "lower", "a1", "a2"),
+            ("dl", 1, "lower", "a1p", "a2p"),
+        ]
+    )
+    return f"""
+WITH names AS ({_SQL_DOC_NAMES}),
+s AS (SELECT doc_id AS src_doc_id, name AS s_name, block_key FROM names WHERE doc_id % 2 = 0),
+d AS (SELECT doc_id AS dst_doc_id, name AS d_name, block_key FROM names WHERE doc_id % 2 = 1),
+p AS (
+  SELECT src_doc_id, dst_doc_id,
+         ROUND(CASE WHEN length(s_name) = 0 AND length(d_name) = 0 THEN 1.0
+              WHEN least(length(s_name), length(d_name)) = 0 THEN 0.0
+              ELSE 1.0 - least(levenshtein(s_name, d_name),
+                               least(length(s_name), length(d_name)))::DOUBLE
+                         / least(length(s_name), length(d_name))
+         END, 6) AS lev_sim
+  FROM s JOIN d USING (block_key)
+),
+align AS MATERIALIZED (
+  SELECT DISTINCT src_doc_id AS src_id, dst_doc_id AS dst_id
+  FROM p WHERE lev_sim >= 0.9
+),
+dd AS (SELECT doc_id, (doc_id // 10) * 10 + doc_id % 2 AS dec,
+              (doc_id // 100) * 100 + doc_id % 2 AS cen
+       FROM documents),
+anc AS MATERIALIZED (
+  SELECT DISTINCT anc_id, desc_id FROM (
+    SELECT dec AS anc_id, doc_id AS desc_id FROM dd WHERE dec <> doc_id
+    UNION ALL
+    SELECT cen AS anc_id, doc_id AS desc_id FROM dd WHERE cen <> doc_id
+  )
+),
+mp AS MATERIALIZED (
+  SELECT l.src_id AS a1, l.dst_id AS a1p, r.src_id AS a2, r.dst_id AS a2p
+  FROM align l, align r
+  WHERE l.src_id < r.src_id
+     OR (l.src_id = r.src_id AND l.dst_id < r.dst_id)
+),
+{diams},
+{sides},
+qu AS (
+  SELECT ROUND(1.0 - COALESCE(AVG(ABS(su.dist - du.dist)), 0.0), 6) AS q,
+         COUNT(*) AS n
+  FROM mp
+  JOIN d_su su ON su.x = mp.a1 AND su.y = mp.a2
+  JOIN d_du du ON du.x = mp.a1p AND du.y = mp.a2p
+),
+ql AS (
+  SELECT ROUND(1.0 - COALESCE(AVG(ABS(sl.dist - dl.dist)), 0.0), 6) AS q
+  FROM mp
+  JOIN d_sl sl ON sl.x = mp.a1 AND sl.y = mp.a2
+  JOIN d_dl dl ON dl.x = mp.a1p AND dl.y = mp.a2p
+),
+o AS (
+  SELECT mp.*,
+    CASE WHEN ls.desc_id IS NOT NULL THEN 'anc'
+         WHEN gs.desc_id IS NOT NULL THEN 'desc' ELSE 'nc' END AS ord_src,
+    CASE WHEN ld.desc_id IS NOT NULL THEN 'anc'
+         WHEN gd.desc_id IS NOT NULL THEN 'desc' ELSE 'nc' END AS ord_dst
+  FROM mp
+  LEFT JOIN anc ls ON ls.anc_id = mp.a1 AND ls.desc_id = mp.a2
+  LEFT JOIN anc gs ON gs.anc_id = mp.a2 AND gs.desc_id = mp.a1
+  LEFT JOIN anc ld ON ld.anc_id = mp.a1p AND ld.desc_id = mp.a2p
+  LEFT JOIN anc gd ON gd.anc_id = mp.a2p AND gd.desc_id = mp.a1p
+),
+qo AS (
+  SELECT ROUND(COALESCE(AVG(CASE WHEN ord_src != ord_dst THEN 1.0 ELSE 0.0 END), 0.0), 6) AS q
+  FROM o
+)
+SELECT qu.q AS upper_quality, qu.n AS n_mapping_pairs,
+       ql.q AS lower_quality, qo.q AS order_discrepancy
+FROM qu, ql, qo
+"""
+
+
+SQL_JOSLYN = _sql_joslyn_distance_quality()
+
+
 def q_alignment_delta(spark, sf_dir):
     """Alignment delta (DeltaFromReference.java:24-44 edit-distance
     classification / AlignmentMetrics.java overlap counts): the pairs kept,
@@ -2324,6 +2515,7 @@ QUERIES = {
     "alignment_delta": q_alignment_delta,
     "order_preservation": q_order_preservation,
     "iism_boosted_pairs": q_iism_boosted_pairs,
+    "joslyn_distance_quality": q_joslyn_distance_quality,
     "one_to_one_full": q_one_to_one_full,
     "similarity_flooding_docs": q_similarity_flooding_docs,
     "minhash_cc_clusters": q_minhash_cc_clusters,
@@ -2372,6 +2564,7 @@ ORACLE_SQL = {
     "alignment_delta": SQL_ALIGN_DELTA,
     "order_preservation": SQL_ORDER_PRESERVATION,
     "iism_boosted_pairs": SQL_IISM,
+    "joslyn_distance_quality": SQL_JOSLYN,
     "one_to_one_full": SQL_ONE_TO_ONE,
     "similarity_flooding_docs": SQL_SF_DOCS,
     "minhash_cc_clusters": SQL_MINHASH_CC,

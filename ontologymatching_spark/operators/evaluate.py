@@ -82,10 +82,60 @@ def precision_recall(alignment: DataFrame, gold: DataFrame) -> dict[str, float]:
     }
 
 
+def _mapping_pairs(
+    alignment: DataFrame, max_pairs: int | None = None
+) -> DataFrame:
+    """All unordered mapping pairs (a1,a1p) < (a2,a2p) — WITHOUT a cartesian
+    product: mappings get a deterministic dense index (row_number over the
+    (a, ap) order), each row explodes the index range above itself, and an
+    equi-join on the exploded index closes the pair. The plan is
+    Generate + equi-join — no CartesianProduct node, and it partitions.
+
+    ``max_pairs`` caps the quadratic output for lake-scale alignments: a
+    deterministic md5-hash sample of ~sqrt(2·max_pairs) mappings (smallest
+    hashes first, ties by (a, ap)) bounds expected pairs ≤ max_pairs. The
+    bounded sample also bounds the global row_number window. Default None =
+    exact (the sf0.01 oracle mode)."""
+    al = alignment.select(F.col("src_id").alias("a"), F.col("dst_id").alias("ap"))
+    if max_pairs is not None:
+        k = max(2, int((2 * max_pairs) ** 0.5))
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.col("a"), F.col("ap"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        al = (
+            al.withColumn("_h", h)
+            .orderBy("_h", "a", "ap")
+            .limit(k)
+            .drop("_h")
+        )
+    from pyspark.sql import Window
+
+    idx = al.withColumn(
+        "rn", F.row_number().over(Window.orderBy("a", "ap"))
+    ).localCheckpoint()
+    n = idx.count()
+    # rn < n guard: Spark's sequence(start, stop) DESCENDS when start > stop,
+    # so the last row would otherwise pair with itself via sequence(n+1, n)
+    left = idx.filter(F.col("rn") < n).select(
+        F.col("a").alias("a1"), F.col("ap").alias("a1p"),
+        F.explode(F.sequence(F.col("rn") + 1, F.lit(n))).alias("rn2"),
+    )
+    right = idx.select(
+        F.col("a").alias("a2"), F.col("ap").alias("a2p"),
+        F.col("rn").alias("rn2"),
+    )
+    return left.join(right, "rn2").drop("rn2")
+
+
 def order_preservation(
     alignment: DataFrame,
     src_ancestors: DataFrame,
     dst_ancestors: DataFrame,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """Joslyn order-preservation quality (qualityEvaluation/metrics/joslyn/
     JoslynStructuralQuality.java:149-204 via OrderPreservationQM): for every
@@ -94,17 +144,10 @@ def order_preservation(
     noncomparable} against each side's ancestor relation; quality =
     1 − Σdiscrepancy / C(n,2). → one row (order_quality, n_mapping_pairs).
 
-    The reference's dense double loop is a self-join here; selected
-    alignments are small post-1-1, and at lake scale the metric is computed
-    per component or on a deterministic sample (it is diagnostics, not a
-    pipeline stage). ancestors = (anc_id, desc_id) pairs."""
-    al = alignment.select(F.col("src_id").alias("a"), F.col("dst_id").alias("ap"))
-    l = al.select(F.col("a").alias("a1"), F.col("ap").alias("a1p"))
-    r = al.select(F.col("a").alias("a2"), F.col("ap").alias("a2p"))
-    pairs = l.crossJoin(r).filter(
-        (F.col("a1") < F.col("a2"))
-        | ((F.col("a1") == F.col("a2")) & (F.col("a1p") < F.col("a2p")))
-    )
+    Pair enumeration is an indexed explode+equi-join (no CartesianProduct),
+    and ``max_pairs`` deterministically hash-samples the alignment at lake
+    scale (see _mapping_pairs). ancestors = (anc_id, desc_id) pairs."""
+    pairs = _mapping_pairs(alignment, max_pairs)
 
     def _order(df, x, y, anc, tag):
         lt = anc.select(
@@ -134,5 +177,149 @@ def order_preservation(
             ),
             6,
         ).alias("order_quality"),
+        F.count(F.lit(1)).alias("n_mapping_pairs"),
+    )
+
+
+def order_discrepancy(
+    alignment: DataFrame,
+    src_ancestors: DataFrame,
+    dst_ancestors: DataFrame,
+    max_pairs: int | None = None,
+) -> DataFrame:
+    """OrderDiscrepancyQM (qualityEvaluation/metrics/OrderDiscrepancyQM.java:
+    JoslynStructuralQuality with PREF_USE_PRESERVATION=false): the raw
+    discrepancy Σ[order(a,b) ≠ order(a',b')] / C(n,2) — the dissimilarity
+    twin of order_preservation. → one row (order_discrepancy,
+    n_mapping_pairs). Computed from its own pair aggregation (not
+    1 − order_quality, which is not bit-safe through round(·,6))."""
+    pairs = _mapping_pairs(alignment, max_pairs)
+
+    def _order(df, x, y, anc, tag):
+        lt = anc.select(
+            F.col("anc_id").alias(x), F.col("desc_id").alias(y),
+            F.lit(True).alias(f"_lt_{tag}"),
+        )
+        gt = anc.select(
+            F.col("desc_id").alias(x), F.col("anc_id").alias(y),
+            F.lit(True).alias(f"_gt_{tag}"),
+        )
+        df = df.join(lt, [x, y], "left").join(gt, [x, y], "left")
+        return df.withColumn(
+            f"ord_{tag}",
+            F.when(F.col(f"_lt_{tag}"), "anc")
+            .when(F.col(f"_gt_{tag}"), "desc")
+            .otherwise("nc"),
+        ).drop(f"_lt_{tag}", f"_gt_{tag}")
+
+    pairs = _order(pairs, "a1", "a2", src_ancestors, "src")
+    pairs = _order(pairs, "a1p", "a2p", dst_ancestors, "dst")
+    return pairs.agg(
+        F.round(
+            F.coalesce(
+                F.avg((F.col("ord_src") != F.col("ord_dst")).cast("double")),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("order_discrepancy"),
+        F.count(F.lit(1)).alias("n_mapping_pairs"),
+    )
+
+
+def distance_preservation(
+    alignment: DataFrame,
+    src_ancestors: DataFrame,
+    dst_ancestors: DataFrame,
+    src_nodes: DataFrame,
+    dst_nodes: DataFrame,
+    mode: str = "upper",
+    max_pairs: int | None = None,
+) -> DataFrame:
+    """Joslyn Upper/LowerDistancePreservationQM (UpperDistancePreservationQM
+    .java / LowerDistance* via JoslynStructuralQuality.getDistanceQuality
+    :320-420): node distance d(a,b) = n(a) + n(b) − 2·max_{c ∈ S(a)∩S(b)}
+    n(c), where S = ancestor sets and n = |S| for mode='upper' (descendant
+    sets for 'lower'); distances normalize by the side's top-bottom diameter
+    (|nodes| − 1, +1 when roots ≠ 1, +1 when leaves ≠ 1); per mapping pair
+    the discrepancy is |d_src − d_dst|; quality = 1 − Σ/C(n,2).
+
+    In a tree, max n(c) over common ancestors equals n(LCA) — equivalent to
+    the reference's level-scan, expressed as a relational max. Deviation
+    (documented): each side normalizes by ITS OWN dag's diameter; the
+    reference passes the source dag for both (JoslynStructuralQuality:365 —
+    an upstream bug not reproduced). → one row (quality, n_mapping_pairs)."""
+    pairs = _mapping_pairs(alignment, max_pairs).localCheckpoint()
+
+    def _diameter(anc: DataFrame, nodes: DataFrame) -> float:
+        n_nodes = nodes.count()
+        anc_ids = anc.select(F.col("anc_id").alias("node_id")).distinct()
+        desc_ids = anc.select(F.col("desc_id").alias("node_id")).distinct()
+        n_roots = nodes.join(desc_ids, "node_id", "left_anti").count()
+        n_leaves = nodes.join(anc_ids, "node_id", "left_anti").count()
+        d = float(n_nodes - 1)
+        if n_roots != 1:
+            d += 1
+        if n_leaves != 1:
+            d += 1
+        return max(d, 1.0)
+
+    def _dists(node_pairs: DataFrame, anc: DataFrame, diam: float,
+               x: str, y: str, out: str) -> DataFrame:
+        # membership: S(node) = ancestors (upper) / descendants (lower)
+        if mode == "upper":
+            mem = anc.select(F.col("desc_id").alias("_node"),
+                             F.col("anc_id").alias("_c"))
+        else:
+            mem = anc.select(F.col("anc_id").alias("_node"),
+                             F.col("desc_id").alias("_c"))
+        nsz = mem.groupBy("_node").agg(F.count("*").alias("_n"))
+        nsz_c = nsz.select(F.col("_node").alias("_c"), F.col("_n").alias("_nc"))
+        common = (
+            node_pairs.join(
+                mem.select(F.col("_node").alias(x), "_c"), x
+            )
+            .join(mem.select(F.col("_node").alias(y), "_c"), [y, "_c"])
+            .join(nsz_c, "_c", "left")
+            .groupBy(x, y)
+            .agg(F.max(F.coalesce(F.col("_nc"), F.lit(0))).alias("_maxc"))
+        )
+        return (
+            node_pairs.join(nsz.select(F.col("_node").alias(x),
+                                       F.col("_n").alias("_na")), x, "left")
+            .join(nsz.select(F.col("_node").alias(y),
+                             F.col("_n").alias("_nb")), y, "left")
+            .join(common, [x, y], "left")
+            .select(
+                x, y,
+                (
+                    (
+                        F.coalesce(F.col("_na"), F.lit(0))
+                        + F.coalesce(F.col("_nb"), F.lit(0))
+                        - 2 * F.coalesce(F.col("_maxc"), F.lit(0))
+                    ).cast("double")
+                    / F.lit(diam)
+                ).alias(out),
+            )
+        )
+
+    sdiam = _diameter(src_ancestors, src_nodes)
+    ddiam = _diameter(dst_ancestors, dst_nodes)
+    sp = _dists(
+        pairs.select("a1", "a2").distinct(), src_ancestors, sdiam,
+        "a1", "a2", "d_src",
+    )
+    dp = _dists(
+        pairs.select("a1p", "a2p").distinct(), dst_ancestors, ddiam,
+        "a1p", "a2p", "d_dst",
+    )
+    j = pairs.join(sp, ["a1", "a2"]).join(dp, ["a1p", "a2p"])
+    return j.agg(
+        F.round(
+            1.0
+            - F.coalesce(
+                F.avg(F.abs(F.col("d_src") - F.col("d_dst"))), F.lit(0.0)
+            ),
+            6,
+        ).alias("quality"),
         F.count(F.lit(1)).alias("n_mapping_pairs"),
     )

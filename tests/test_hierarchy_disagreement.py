@@ -119,3 +119,63 @@ def test_order_preservation_metric(spark):
     dp_bad = spark.createDataFrame([(12, 11)], "anc_id long, desc_id long")
     row = order_preservation(align, sp, dp_bad).collect()[0]
     assert (row.order_quality, row.n_mapping_pairs) == (0.0, 1)
+
+
+def test_mapping_pairs_no_cartesian_and_cap(spark):
+    """Pair enumeration is Generate+equi-join (no CartesianProduct node) and
+    max_pairs deterministically caps the quadratic output."""
+    import pandas as pd
+
+    from ontologymatching_spark.operators.evaluate import _mapping_pairs
+
+    align = spark.createDataFrame(
+        pd.DataFrame({"src_id": list(range(40)), "dst_id": list(range(100, 140))})
+    )
+    mp = _mapping_pairs(align)
+    assert mp.count() == 40 * 39 // 2
+    plan = mp._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # capped mode: expected pairs <= max_pairs, deterministic across calls
+    mp1 = _mapping_pairs(align, max_pairs=50).toPandas()
+    mp2 = _mapping_pairs(align, max_pairs=50).toPandas()
+    assert len(mp1) <= 50
+    assert len(mp1) > 0
+    cols = sorted(mp1.columns)
+    assert mp1[cols].sort_values(cols).reset_index(drop=True).equals(
+        mp2[cols].sort_values(cols).reset_index(drop=True)
+    )
+
+
+def test_order_discrepancy_and_distance_preservation(spark):
+    from ontologymatching_spark.operators.evaluate import (
+        distance_preservation,
+        order_discrepancy,
+    )
+
+    sp = spark.createDataFrame([(1, 2)], "anc_id long, desc_id long")
+    dp_bad = spark.createDataFrame([(12, 11)], "anc_id long, desc_id long")
+    align = spark.createDataFrame(
+        [(1, 11), (2, 12)], "src_id long, dst_id long"
+    )
+    # inverted dst order → raw discrepancy 1.0 (the PRESERVATION=false twin)
+    row = order_discrepancy(align, sp, dp_bad).collect()[0]
+    assert (row.order_discrepancy, row.n_mapping_pairs) == (1.0, 1)
+
+    # distance preservation: identical 2-chain hierarchies → |d_src - d_dst|
+    # = 0 everywhere → quality 1.0 for both modes
+    dp_ok = spark.createDataFrame([(11, 12)], "anc_id long, desc_id long")
+    sn = spark.createDataFrame([(1,), (2,)], "node_id long")
+    dn = spark.createDataFrame([(11,), (12,)], "node_id long")
+    for mode in ("upper", "lower"):
+        row = distance_preservation(align, sp, dp_ok, sn, dn, mode=mode).collect()[0]
+        assert row.quality == 1.0, mode
+        assert row.n_mapping_pairs == 1
+
+    # asymmetric case: dst sides unrelated (no dst hierarchy) → dst distance
+    # 0/diam while src pair distance is 1+0-0=1 normalized by diameter 1 →
+    # upper quality = 1 - |1 - 0| = 0
+    dp_none = spark.createDataFrame([], "anc_id long, desc_id long")
+    row = distance_preservation(
+        align, sp, dp_none, sn, dn, mode="upper"
+    ).collect()[0]
+    assert row.quality == pytest.approx(0.0)
