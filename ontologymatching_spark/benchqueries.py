@@ -864,6 +864,35 @@ FROM lev FULL OUTER JOIN qg
 """
 
 
+def q_lwc_sigmoid(spark, sf_dir):
+    """LWC SIGMOIDAVERAGECOMB (operators/matchers.lwc_sigmoid_average;
+    CombinationMatcher.java:182-186 + Utility.getSigmoidFunction): average
+    of sigmoid-rescaled lev + q-gram sims over the full-outer pair join —
+    absent matchers contribute sigmoid(0), per reference semantics."""
+    from .operators.matchers import lwc_sigmoid_average
+
+    lev = q_lev_blocked_pairs(spark, sf_dir)
+    qg = q_qgram_jaccard_pairs(spark, sf_dir)
+    j = lev.join(qg, ["src_doc_id", "dst_doc_id"], "full_outer")
+    out = lwc_sigmoid_average(j, ["lev_sim", "qgram_sim"])
+    return out.select(
+        "src_doc_id", "dst_doc_id",
+        F.round(F.col("sim"), 6).alias("sim_sigavg"),
+    )
+
+
+SQL_LWC_SIGMOID = f"""
+WITH lev AS ({SQL_LEV_PAIRS}), qg AS ({SQL_QGRAM})
+SELECT COALESCE(lev.src_doc_id, qg.src_doc_id) AS src_doc_id,
+       COALESCE(lev.dst_doc_id, qg.dst_doc_id) AS dst_doc_id,
+       ROUND((1.0 / (1.0 + exp(-5.0 * (COALESCE(lev_sim, 0.0) - 0.5)))
+            + 1.0 / (1.0 + exp(-5.0 * (COALESCE(qgram_sim, 0.0) - 0.5)))) / 2,
+             6) AS sim_sigavg
+FROM lev FULL OUTER JOIN qg
+  ON lev.src_doc_id = qg.src_doc_id AND lev.dst_doc_id = qg.dst_doc_id
+"""
+
+
 def q_completion_anti_join(spark, sf_dir):
     """Completion mode (AbstractMatcher.java:683-717): keep only candidate
     pairs whose source AND target are not already mapped by the prior
@@ -1106,6 +1135,78 @@ def _sql_lsh_bucket() -> str:
 SQL_ANN_LSH = f"""
 SELECT vec_id, CAST({_sql_lsh_bucket()} AS BIGINT) AS bucket FROM embeddings
 """
+
+
+ANN_TOPK_PLANES = 4
+ANN_TOPK_TABLES = 2
+ANN_TOPK_K = 5
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Scalable ANN top-k (operators/ann.lsh_topk): 2 independent LSH tables
+    of 4 hyperplanes each, candidates from bucket equi-joins only (never a
+    cross join), cosine + deterministic top-5. The md5-derived planes make
+    the DuckDB twin mechanical; recall vs the brute-force baseline is gated
+    in tests (test_dedup_ann_text)."""
+    from .operators.ann import lsh_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        e, k=ANN_TOPK_K, n_planes=ANN_TOPK_PLANES, dim=EMB_DIM,
+        n_tables=ANN_TOPK_TABLES,
+    )
+
+
+def _sql_ann_lsh_topk() -> str:
+    from .operators.ann import _planes
+
+    def bucket_expr(t: int) -> str:
+        planes = _planes(t * ANN_TOPK_PLANES + ANN_TOPK_PLANES, EMB_DIM)[
+            t * ANN_TOPK_PLANES:
+        ]
+        parts = []
+        for j, plane in enumerate(planes):
+            lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+            parts.append(
+                f"(CASE WHEN list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+                f"i -> embedding[i]::DOUBLE * ({lit})[i])) > 0 "
+                f"THEN {1 << j} ELSE 0 END)"
+            )
+        return " + ".join(parts)
+
+    buckets = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, CAST({bucket_expr(t)} AS BIGINT) AS bucket "
+        f"FROM embeddings"
+        for t in range(ANN_TOPK_TABLES)
+    )
+    return f"""
+WITH b AS ({buckets}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS probe_id, c.vec_id AS cand_id
+  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+  WHERE a.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT p.probe_id, p.cand_id,
+         ROUND(
+           list_sum(list_transform(range(1, len(ea.embedding) + 1),
+                    i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(ea.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(eb.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+           9) AS cosine
+  FROM cand p
+  JOIN embeddings ea ON ea.vec_id = p.probe_id
+  JOIN embeddings eb ON eb.vec_id = p.cand_id
+)
+SELECT probe_id, cand_id, cosine, rnk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY cosine DESC, cand_id ASC) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= {ANN_TOPK_K}
+"""
+
+
+SQL_ANN_LSH_TOPK = _sql_ann_lsh_topk()
 
 
 def q_ngram_jaccard_dedup(spark, sf_dir):
@@ -2499,6 +2600,8 @@ QUERIES = {
     "mediating_join": q_mediating_join,
     "simhash_dedup": q_simhash_dedup,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "lwc_sigmoid": q_lwc_sigmoid,
     "events_pivot": q_events_pivot,
     "connected_components": q_connected_components,
     "events_asof_error": q_events_asof_error,
@@ -2548,6 +2651,8 @@ ORACLE_SQL = {
     "mediating_join": SQL_MEDIATING,
     "simhash_dedup": SQL_SIMHASH,
     "ann_lsh_buckets": SQL_ANN_LSH,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "lwc_sigmoid": SQL_LWC_SIGMOID,
     "events_pivot": SQL_EVENTS_PIVOT,
     "connected_components": SQL_CC,
     "events_asof_error": SQL_ASOF,

@@ -218,6 +218,24 @@ def lwc_max(pairs_sims: DataFrame, sim_cols: list[str]) -> DataFrame:
     )
 
 
+def lwc_sigmoid_average(pairs_sims: DataFrame, sim_cols: list[str]) -> DataFrame:
+    """SIGMOIDAVERAGECOMB (CombinationMatcher.java:151-153,182-186): average
+    of sigmoid-rescaled similarities, sigmoid = 1/(1+exp(-5*(x-0.5)))
+    (Utility.getSigmoidFunction:232-239 — k=5, midpoint 0.5). Missing sims
+    enter as 0.0 BEFORE the sigmoid (the reference reads an empty matrix
+    cell as sim=0 and rescales it), so an absent matcher contributes
+    sigmoid(0) ≈ 0.076, not 0."""
+    n = len(sim_cols)
+
+    def sg(c):
+        return 1.0 / (
+            1.0 + F.exp(-5.0 * (F.coalesce(F.col(c), F.lit(0.0)) - 0.5))
+        )
+
+    expr = sum((sg(c) for c in sim_cols[1:]), sg(sim_cols[0])) / n
+    return pairs_sims.withColumn("sim", expr)
+
+
 def local_confidence_weights(pairs_sims: DataFrame, sim_col: str,
                              by: str = "src_id") -> DataFrame:
     """LocalConfidenceQuality (qualityEvaluation/metrics/LocalConfidenceQuality

@@ -91,6 +91,28 @@ def test_ann_lsh_recall(spark):
     assert set(cnt["count"]) == {5}
 
 
+def test_ann_lsh_topk_planted_recall(spark):
+    """Planted-twin ground truth: each base vector gets a 0.05-noise twin
+    (cosine ≈ 0.999). lsh_topk with 2 tables of 4 planes must recover ≥85%
+    of the twins at rank 1 — the recall gate for the driver's ann_lsh_topk
+    query parameters."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(80, 64))
+    noise = base + 0.05 * rng.normal(size=(80, 64))
+    vecs_np = np.vstack([base, noise]).astype("float32")
+    rows = [(i, [float(x) for x in vecs_np[i]]) for i in range(160)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    approx = ann.lsh_topk(vecs, k=1, n_planes=4, dim=64, n_tables=2)
+    got = {
+        r.probe_id: r.cand_id
+        for r in approx.filter(F.col("rnk") == 1).collect()
+    }
+    hits = sum(1 for p, c in got.items() if abs(p - c) == 80)
+    assert hits / 160 >= 0.85, f"planted recall@1 {hits}/160"
+
+
 def test_embedding_neardup_self(spark):
     vecs = spark.read.parquet(f"{SF}/embeddings.parquet").select(
         "vec_id", "embedding"
@@ -149,9 +171,53 @@ def test_multimodal_plumbing(spark):
     assert len(feats) == 30
     assert set(feats["feat_dim"]) == {8}
     assert feats["payload_sha256"].str.len().eq(64).all()
-    # real decode path is stubbed
-    with pytest.raises(Exception, match="NotImplementedError|media decode"):
-        multimodal.extract_features(media, dim=8, fake_decode=False).count()
+    # image/video decode paths are stubbed; audio decodes real bytes, so
+    # the non-fake run fails only on the image/video rows
+    with pytest.raises(Exception, match="NotImplementedError|video decode"):
+        multimodal.extract_features(
+            media.filter(F.col("kind") != "audio"), dim=8, fake_decode=False
+        ).count()
+    audio_feats = multimodal.extract_features(
+        media.filter(F.col("kind") == "audio"), dim=8, fake_decode=False
+    ).toPandas()
+    assert len(audio_feats) == media.filter(F.col("kind") == "audio").count()
+
+
+def test_wav_decode_real_bytes(spark):
+    """The audio decoder parses REAL RIFF/WAVE PCM: a 440 Hz half-amplitude
+    sine must come back with the right duration, rate and rms ≈ 0.5/√2."""
+    import math
+
+    payload = multimodal.make_wav_bytes(freq_hz=440.0, ms=500, rate=8000,
+                                        amp=0.5)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    media = spark.createDataFrame(
+        [(0, "audio", "audio/wav", bytearray(payload), None, None, 500)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.decode_audio_stats(media).collect()[0]
+    assert row.sample_rate == 8000
+    assert row.n_channels == 1
+    assert row.n_samples == 4000
+    assert row.duration_ms == 500
+    assert abs(float(row.rms) - 0.5 / math.sqrt(2)) < 0.01
+    assert 0.49 < float(row.peak) <= 0.51
+    assert float(row.clip_ratio) == 0.0
+    # a clipped full-amplitude tone registers clipping
+    loud = multimodal.make_wav_bytes(freq_hz=200.0, ms=200, amp=1.1)
+    media2 = spark.createDataFrame(
+        [(1, "audio", "audio/wav", bytearray(loud), None, None, 200)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row2 = multimodal.decode_audio_stats(media2).collect()[0]
+    assert float(row2.clip_ratio) > 0.1
+    # malformed bytes surface as an error (no silent fake)
+    bad = spark.createDataFrame(
+        [(2, "audio", "audio/wav", bytearray(b"not a wav"), None, None, 1)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception):
+        multimodal.decode_audio_stats(bad).count()
     # frame sampling plan explodes video rows JVM-side
     plan = multimodal.frame_sample_plan(media, every_ms=10_000).toPandas()
     assert (plan["frame_ts_ms"] % 10_000 == 0).all()

@@ -158,3 +158,26 @@ def test_lwc_quality_weighted(spark):
     # combined(11) = (0.9*0.9 + 0.5*0.5)/(0.9+0.5) ≈ 0.757 > plain avg 0.7
     assert got[11] > 0.7
     assert got[11] > got[12] == got[13]
+
+
+def test_lwc_sigmoid_average(spark):
+    """SIGMOIDAVERAGECOMB: sigmoid(k=5, c=0.5) applied per matcher, missing
+    sims rescaled from 0 (reference reads empty cells as 0)."""
+    import math
+
+    import pytest as pt
+
+    from ontologymatching_spark.operators import matchers
+
+    df = spark.createDataFrame(
+        [(1, 11, 0.5, None), (1, 12, 1.0, 1.0)],
+        "src_id long, dst_id long, sim_a double, sim_b double",
+    )
+    out = matchers.lwc_sigmoid_average(df, ["sim_a", "sim_b"]).toPandas()
+    got = dict(zip(out["dst_id"], out["sim"]))
+
+    def sg(x):
+        return 1.0 / (1.0 + math.exp(-5.0 * (x - 0.5)))
+
+    assert got[11] == pt.approx((sg(0.5) + sg(0.0)) / 2)
+    assert got[12] == pt.approx(sg(1.0))
