@@ -454,6 +454,37 @@ WHERE ROUND(dot / (ns.nrm * nd.nrm), 6) >= 0.2
 """
 
 
+def q_matrix_gram(spark, sf_dir):
+    """Sparse matrix algebra (operators/matrix.py — SimilarityMatrix
+    transpose/plus/times re-expressed relationally): the Gram matrix
+    G = A × Aᵀ of the q-gram pair matrix (rows = src docs, cols = dst docs).
+    G[s1,s2] = Σ_d sim(s1,d)·sim(s2,d) — co-candidate affinity between
+    source docs. Relational matmul: equi-join on the contracted dst key +
+    groupBy sum, zero cells never materialized."""
+    from .operators.matrix import times, transpose
+
+    a = q_qgram_jaccard_pairs(spark, sf_dir).select(
+        F.col("src_doc_id").alias("row_id"),
+        F.col("dst_doc_id").alias("col_id"),
+        F.col("qgram_sim").alias("v"),
+    )
+    g = times(a, transpose(a))
+    return g.select(
+        F.col("row_id").alias("src_a"),
+        F.col("col_id").alias("src_b"),
+        F.round("v", 6).alias("gram"),
+    )
+
+
+SQL_MATRIX_GRAM = f"""
+WITH qg AS ({SQL_QGRAM})
+SELECT a.src_doc_id AS src_a, b.src_doc_id AS src_b,
+       ROUND(SUM(a.qgram_sim * b.qgram_sim), 6) AS gram
+FROM qg a JOIN qg b ON a.dst_doc_id = b.dst_doc_id
+GROUP BY 1, 2
+"""
+
+
 def q_mutual_best_selection(spark, sf_dir):
     """One mutual-best round over the TF-IDF pairs — the SQL-expressible core
     of the greedy/stable-marriage 1-1 selection (scanWithBothConstraints,
@@ -2602,6 +2633,7 @@ QUERIES = {
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
     "lwc_sigmoid": q_lwc_sigmoid,
+    "matrix_gram": q_matrix_gram,
     "events_pivot": q_events_pivot,
     "connected_components": q_connected_components,
     "events_asof_error": q_events_asof_error,
@@ -2653,6 +2685,7 @@ ORACLE_SQL = {
     "ann_lsh_buckets": SQL_ANN_LSH,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "lwc_sigmoid": SQL_LWC_SIGMOID,
+    "matrix_gram": SQL_MATRIX_GRAM,
     "events_pivot": SQL_EVENTS_PIVOT,
     "connected_components": SQL_CC,
     "events_asof_error": SQL_ASOF,
