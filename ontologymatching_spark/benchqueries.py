@@ -463,6 +463,10 @@ def q_matrix_gram(spark, sf_dir):
     groupBy sum, zero cells never materialized."""
     from .operators.matrix import times, transpose
 
+    # Measured: caching the slim pair table before the self-join does NOT
+    # help (12.1 s vs 13.1 s at sf0.1) — the matmul shuffle dominates, and
+    # the qgram subtree is cheap codegen (the inverse of the _minhash_sigs
+    # lesson: materialize only what's expensive AND fanned out).
     a = q_qgram_jaccard_pairs(spark, sf_dir).select(
         F.col("src_doc_id").alias("row_id"),
         F.col("dst_doc_id").alias("col_id"),

@@ -2,20 +2,23 @@
 opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` UDFs.
 
-AUDIO decodes REAL bytes: payloads are genuine RIFF/WAVE PCM files and
-``decode_audio_stats`` parses them with the pure-stdlib ``wave`` module
-(duration, rms, peak, clipping ratio) inside the same mapInPandas plumbing.
-Image/video decode kernels remain STUBBED (PIL/pyav are not in this
-container): they raise ``NotImplementedError`` unless ``fake_decode=True``,
-in which case a deterministic fake (content-hash-seeded byte grid) stands in
-so the Spark-side plumbing — schema, partitioning, UDF signature, Arrow
-batch shape — is real and tested end-to-end.
+AUDIO and IMAGE decode REAL bytes: audio payloads are genuine RIFF/WAVE PCM
+files parsed with the pure-stdlib ``wave`` module (duration, rms, peak,
+clipping ratio), and image payloads are genuine uncompressed 24-bit BMP
+files parsed with ``struct`` + numpy (dimensions, per-channel means, luma
+mean/std) — both inside the same mapInPandas plumbing. Only the VIDEO
+decode kernel remains STUBBED (pyav/ffmpeg are not in this container): it
+raises ``NotImplementedError`` unless ``fake_decode=True``, in which case a
+deterministic fake (content-hash-seeded byte grid) stands in so the
+Spark-side plumbing — schema, partitioning, UDF signature, Arrow batch
+shape — is real and tested end-to-end.
 """
 
 from __future__ import annotations
 
 import hashlib
 import io
+import struct
 import wave
 from collections.abc import Iterator
 
@@ -63,6 +66,121 @@ AUDIO_STATS_SCHEMA = StructType(
         StructField("clip_ratio", StringType()),
     ]
 )
+
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("bpp", IntegerType()),
+        StructField("mean_r", StringType()),     # fixed 6-dec strings keep
+        StructField("mean_g", StringType()),     # cross-engine hashes exact
+        StructField("mean_b", StringType()),
+        StructField("luma_mean", StringType()),
+        StructField("luma_std", StringType()),
+    ]
+)
+
+
+def make_bmp_bytes(width: int, height: int, seed: int = 0) -> bytes:
+    """A genuine uncompressed 24-bit BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER, bottom-up rows padded to 4 bytes): a deterministic
+    gradient + seeded-noise pixel grid. stdlib ``struct`` + numpy, no
+    image libs."""
+    rng = np.random.default_rng(seed)
+    x = np.arange(width, dtype="float64")[None, :]
+    y = np.arange(height, dtype="float64")[:, None]
+    r = (x * 255.0 / max(width - 1, 1)) + rng.integers(0, 16, (height, width))
+    g = (y * 255.0 / max(height - 1, 1)) + rng.integers(0, 16, (height, width))
+    b = ((x + y) * 127.0 / max(width + height - 2, 1)) + rng.integers(
+        0, 16, (height, width)
+    )
+    pix = np.stack(
+        [np.clip(b, 0, 255), np.clip(g, 0, 255), np.clip(r, 0, 255)], axis=-1
+    ).astype("u1")  # BMP stores BGR
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    rows = []
+    for i in range(height - 1, -1, -1):  # bottom-up storage order
+        rows.append(pix[i].tobytes() + b"\x00" * pad)
+    data = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835,
+        0, 0,
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return header + info + data
+
+
+def _bmp_stats(payload: bytes) -> dict:
+    """Parse a real uncompressed 24-bit BMP byte stream (struct + numpy):
+    dimensions + per-channel means + luma (ITU-R BT.601) mean/std."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing BM magic)")
+    _, _, _, _, data_off = struct.unpack("<2sIHHI", payload[:14])
+    hdr_size, width, height = struct.unpack("<Iii", payload[14:26])
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    _, bpp, compression = struct.unpack("<HHI", payload[26:34])
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = width * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    raw = np.frombuffer(payload, dtype="u1",
+                        count=stride * height, offset=data_off)
+    rows = raw.reshape(height, stride)[:, :row_bytes]
+    if bottom_up:
+        rows = rows[::-1]
+    pix = rows.reshape(height, width, 3).astype("float64")  # B,G,R
+    mean_b, mean_g, mean_r = (float(pix[..., i].mean()) for i in range(3))
+    luma = 0.114 * pix[..., 0] + 0.587 * pix[..., 1] + 0.299 * pix[..., 2]
+    return {
+        "width": width,
+        "height": height,
+        "bpp": bpp,
+        "mean_r": mean_r,
+        "mean_g": mean_g,
+        "mean_b": mean_b,
+        "luma_mean": float(luma.mean()),
+        "luma_std": float(luma.std()),
+    }
+
+
+def decode_image_stats(media: DataFrame) -> DataFrame:
+    """Image rows → real decoded pixel stats via mapInPandas (one Arrow
+    batch of BMP payloads in, one stats batch out). REAL decoder, no fake
+    path: malformed BMP bytes raise, as a production pipeline would surface
+    them. Floats are emitted as fixed 6-decimal strings so the values hash
+    identically across engines."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                st = _bmp_stats(bytes(r.payload))
+                out.append(
+                    {
+                        "media_id": r.media_id,
+                        "width": st["width"],
+                        "height": st["height"],
+                        "bpp": st["bpp"],
+                        "mean_r": f"{st['mean_r']:.6f}",
+                        "mean_g": f"{st['mean_g']:.6f}",
+                        "mean_b": f"{st['mean_b']:.6f}",
+                        "luma_mean": f"{st['luma_mean']:.6f}",
+                        "luma_std": f"{st['luma_std']:.6f}",
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in IMAGE_STATS_SCHEMA.fields]
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, IMAGE_STATS_SCHEMA
+    )
 
 
 def make_wav_bytes(
@@ -158,18 +276,23 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table. Audio payloads are REAL WAV files
-    (sine PCM, frequency/duration varied per row); image/video payloads
-    stay opaque seeded bytes (their decoders are the stubbed kernels)."""
+    (sine PCM, frequency/duration varied per row) and image payloads are
+    REAL 24-bit BMP files (gradient+noise grid sized per row); only video
+    payloads stay opaque seeded bytes (its decoder is the stubbed kernel)."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
         dur_ms = int(rng.integers(100, 2_000))
+        w = int(rng.integers(8, 64))
+        h = int(rng.integers(8, 64))
         if kind == "audio":
             payload = make_wav_bytes(
                 freq_hz=float(rng.integers(100, 2000)), ms=dur_ms
             )
+        elif kind == "image":
+            payload = make_bmp_bytes(w, h, seed=seed * 100_003 + i)
         else:
             payload = rng.integers(
                 0, 256, size=int(rng.integers(64, 512))
@@ -177,11 +300,11 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         rows.append(
             (
                 i, kind,
-                {"image": "image/png", "audio": "audio/wav",
+                {"image": "image/bmp", "audio": "audio/wav",
                  "video": "video/mp4"}[kind],
                 bytearray(payload),
-                int(rng.integers(16, 256)) if kind != "audio" else None,
-                int(rng.integers(16, 256)) if kind != "audio" else None,
+                w if kind != "audio" else None,
+                h if kind != "audio" else None,
                 dur_ms if kind != "image" else None,
             )
         )
@@ -199,9 +322,10 @@ def extract_features(
     media: DataFrame, dim: int = 16, fake_decode: bool = False
 ) -> DataFrame:
     """media → per-item feature rows via mapInPandas (one Arrow batch of
-    binary payloads in, one batch of feature rows out). The real
-    implementation would decode (PIL/librosa/pyav) and embed here; the
-    partitioning/batching/lineage is identical."""
+    binary payloads in, one batch of feature rows out). Audio (WAV) and
+    image (BMP) rows decode REAL bytes; only video still needs
+    ``fake_decode=True`` (pyav absent). A production embedder would slot
+    into the same partitioning/batching/lineage."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -218,11 +342,22 @@ def extract_features(
                         st["n_channels"] / 8.0,
                     ]
                     feat = [base[i % len(base)] for i in range(dim)]
+                elif r.kind == "image":
+                    # REAL decode: struct+numpy BMP parse → pixel-stat feature
+                    st = _bmp_stats(payload)
+                    base = [
+                        st["mean_r"] / 255.0, st["mean_g"] / 255.0,
+                        st["mean_b"] / 255.0, st["luma_mean"] / 255.0,
+                        st["luma_std"] / 255.0,
+                        st["width"] / 4096.0, st["height"] / 4096.0,
+                    ]
+                    feat = [base[i % len(base)] for i in range(dim)]
                 elif not fake_decode:
                     raise NotImplementedError(
-                        "image/video decode requires libs not present in "
+                        "video decode requires pyav/ffmpeg, not present in "
                         "this environment; pass fake_decode=True for the "
-                        "deterministic stand-in (audio decodes real bytes)"
+                        "deterministic stand-in (audio+image decode real "
+                        "bytes)"
                     )
                 else:
                     feat = _fake_feature(payload, dim)

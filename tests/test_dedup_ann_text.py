@@ -171,16 +171,16 @@ def test_multimodal_plumbing(spark):
     assert len(feats) == 30
     assert set(feats["feat_dim"]) == {8}
     assert feats["payload_sha256"].str.len().eq(64).all()
-    # image/video decode paths are stubbed; audio decodes real bytes, so
-    # the non-fake run fails only on the image/video rows
+    # only the video decode path is stubbed; audio (WAV) and image (BMP)
+    # decode real bytes, so the non-fake run fails only on the video rows
     with pytest.raises(Exception, match="NotImplementedError|video decode"):
         multimodal.extract_features(
-            media.filter(F.col("kind") != "audio"), dim=8, fake_decode=False
+            media.filter(F.col("kind") == "video"), dim=8, fake_decode=False
         ).count()
-    audio_feats = multimodal.extract_features(
-        media.filter(F.col("kind") == "audio"), dim=8, fake_decode=False
+    real_feats = multimodal.extract_features(
+        media.filter(F.col("kind") != "video"), dim=8, fake_decode=False
     ).toPandas()
-    assert len(audio_feats) == media.filter(F.col("kind") == "audio").count()
+    assert len(real_feats) == media.filter(F.col("kind") != "video").count()
 
 
 def test_wav_decode_real_bytes(spark):
@@ -258,3 +258,65 @@ def test_word2vec_and_browse(spark):
     assert len(nn) == 5
     assert (nn["probe"] == probe).all()
     assert nn["cosine"].is_monotonic_decreasing
+
+
+def test_bmp_decode_real_bytes(spark):
+    """The image decoder parses REAL uncompressed 24-bit BMP bytes: a
+    hand-built 3x2 image with known pixels (odd width exercises the 4-byte
+    row padding) must come back with exact channel means, and malformed /
+    unsupported payloads must raise."""
+    import struct
+
+    import numpy as np
+
+    # 3x2 pixels, rows top-to-bottom; channels (R, G, B)
+    pix = np.array(
+        [
+            [[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+            [[10, 20, 30], [40, 50, 60], [70, 80, 90]],
+        ],
+        dtype="u1",
+    )
+    row_bytes = 3 * 3
+    pad = (-row_bytes) % 4
+    body = b"".join(
+        pix[i, :, ::-1].tobytes() + b"\x00" * pad  # BGR, bottom-up
+        for i in range(1, -1, -1)
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    payload = (
+        struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+        + info + body
+    )
+    media = spark.createDataFrame(
+        [(0, "image", "image/bmp", bytearray(payload), 3, 2, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.decode_image_stats(media).collect()[0]
+    assert (row.width, row.height, row.bpp) == (3, 2, 24)
+    assert float(row.mean_r) == pytest.approx(pix[..., 0].mean(), abs=1e-6)
+    assert float(row.mean_g) == pytest.approx(pix[..., 1].mean(), abs=1e-6)
+    assert float(row.mean_b) == pytest.approx(pix[..., 2].mean(), abs=1e-6)
+    luma = (0.299 * pix[..., 0] + 0.587 * pix[..., 1]
+            + 0.114 * pix[..., 2]).astype("float64")
+    assert float(row.luma_mean) == pytest.approx(luma.mean(), abs=1e-6)
+    assert float(row.luma_std) == pytest.approx(luma.std(), abs=1e-6)
+    # the generator's BMPs round-trip through the decoder
+    gen = multimodal.make_bmp_bytes(17, 9, seed=7)  # odd width -> padded rows
+    assert gen[:2] == b"BM"
+    media2 = spark.createDataFrame(
+        [(1, "image", "image/bmp", bytearray(gen), 17, 9, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row2 = multimodal.decode_image_stats(media2).collect()[0]
+    assert (row2.width, row2.height) == (17, 9)
+    # gradient runs left->right in R: right half brighter than left half
+    assert 0.0 < float(row2.mean_r) < 255.0
+    # malformed bytes surface as an error (no silent fake)
+    bad = spark.createDataFrame(
+        [(2, "image", "image/bmp", bytearray(b"not a bmp"), 1, 1, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception):
+        multimodal.decode_image_stats(bad).count()
