@@ -2527,7 +2527,10 @@ def _sql_mssg_vec_dims(word_expr: str) -> list[str]:
     ]
 
 
-def _sql_mssg_context_vectors() -> str:
+def _sql_mssg_ctx_prefix() -> str:
+    """Shared CTE chain producing per-occurrence context components
+    ``sel(doc_id, p, word, c0..c{D-1})`` — the front half of both the
+    context-vector value-hash oracle and the sense-k-means oracle."""
     vdims = ", ".join(
         f"{e} AS v{i}" for i, e in enumerate(_sql_mssg_vec_dims("nword"))
     )
@@ -2535,14 +2538,7 @@ def _sql_mssg_context_vectors() -> str:
         f"SUM(CAST(v{i} AS DOUBLE)) AS s{i}" for i in range(MSSG_DIM)
     )
     cdims = ", ".join(f"s{i} / n AS c{i}" for i in range(MSSG_DIM))
-    # left-assoc fold chains, matching F.aggregate's element order exactly
-    norm2 = "0.0"
-    tot = "0.0"
-    for i in range(MSSG_DIM):
-        norm2 = f"({norm2} + c{i} * c{i})"
-        tot = f"({tot} + c{i})"
-    return f"""
-WITH t AS (
+    return f"""t AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
 ),
 occ AS (
@@ -2563,7 +2559,18 @@ agg AS (
   SELECT doc_id, p, word, COUNT(*) AS n, {sums}
   FROM nv GROUP BY doc_id, p, word
 ),
-sel AS (SELECT doc_id, p, word, {cdims} FROM agg)
+sel AS (SELECT doc_id, p, word, {cdims} FROM agg)"""
+
+
+def _sql_mssg_context_vectors() -> str:
+    # left-assoc fold chains, matching F.aggregate's element order exactly
+    norm2 = "0.0"
+    tot = "0.0"
+    for i in range(MSSG_DIM):
+        norm2 = f"({norm2} + c{i} * c{i})"
+        tot = f"({tot} + c{i})"
+    return f"""
+WITH {_sql_mssg_ctx_prefix()}
 SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos, word,
        ROUND(sqrt({norm2}), 6) + 0.0 AS ctx_norm,
        ROUND({tot}, 6) + 0.0 AS ctx_sum
@@ -2574,29 +2581,100 @@ FROM sel
 SQL_MSSG_CTX = _sql_mssg_context_vectors()
 
 
+MSSG_QBITS = 20  # context/centroid quantization grid 2^-20 (see below)
+
+
 def q_mssg_senses(spark, sf_dir):
     """MSSG multi-sense discovery over document tokens (the reference
     thesis's MultiSenseSkipGramEmbeddingModel re-expressed batch-side,
     operators/embeddings.py): per-occurrence context vectors → per-word
-    max-dot k-means into 2 senses. Rows-only driver check (the iterative
-    k-means tail isn't SQL-expressible; the context-vector front half IS
-    value-hash-checked — q_mssg_context_vectors)."""
+    max-dot k-means into 2 senses, 5 bounded rounds.
+
+    Oracle-checked (round 2, formerly rows-only): contexts and updated
+    centroids are floored onto the 2^-20 binary grid (quantize_pow2), so
+    every dot-product term lands on the exact 2^-40 grid and every partial
+    sum stays exactly representable — assignments and centroids are
+    bit-identical in any summation order and any engine, which lets the
+    bounded k-means unroll into SQL_MSSG_SENSES's per-round CTE pairs
+    (assign via row_number over exact dots, update via exact-mean +
+    re-floor, empty senses keep their centroid)."""
     from .operators.embeddings import context_vectors, mssg_sense_vectors
 
     docs, vectors = _mssg_docs_vectors(spark, sf_dir)
     ctx = context_vectors(docs, vectors, window=2)
-    senses = mssg_sense_vectors(ctx, n_senses=2, min_contexts=50)
+    senses = mssg_sense_vectors(
+        ctx, n_senses=2, min_contexts=50, quantize_pow2=MSSG_QBITS
+    )
+    norm = F.sqrt(
+        F.aggregate("sense_vec", F.lit(0.0), lambda a, v: a + v * v)
+    )
     return senses.select(
         "word", "sense", "n_contexts",
-        F.round(
-            F.sqrt(
-                F.aggregate(
-                    "sense_vec", F.lit(0.0), lambda a, v: a + v * v
-                )
-            ),
-            6,
-        ).alias("sense_norm"),
+        (F.floor(norm * 1e6) / 1e6).alias("sense_norm"),
     )
+
+
+def _sql_mssg_senses(
+    n_iter: int = 5, min_contexts: int = 50, k: int = 2
+) -> str:
+    """DuckDB twin of q_mssg_senses: the bounded per-word k-means unrolled
+    into ``n_iter`` (assign, update) CTE pairs over the shared context-
+    component prefix. Exact parity per the 2^-20 quantization argument in
+    q_mssg_senses' docstring; argmax ties break to the lowest sense
+    (np.argmax first-max = ORDER BY dot DESC, sense ASC)."""
+    D = MSSG_DIM
+    Q = f"{float(1 << MSSG_QBITS):.1f}"
+    xcols = ", ".join(f"x{i}" for i in range(D))
+    cq = ", ".join(f"floor(c{i} * {Q}) / {Q} AS x{i}" for i in range(D))
+    dinit = ", ".join(f"x{i} AS d{i}" for i in range(D))
+    parts = [f"""
+WITH {_sql_mssg_ctx_prefix()},
+xq AS MATERIALIZED (
+  SELECT s.doc_id, s.p, s.word, {cq},
+         row_number() OVER (PARTITION BY s.word ORDER BY s.doc_id, s.p) AS rn
+  FROM sel s
+  JOIN (SELECT word FROM sel GROUP BY word
+        HAVING COUNT(*) >= {min_contexts}) e USING (word)
+),
+c0 AS MATERIALIZED (
+  SELECT word, CAST(rn - 1 AS BIGINT) AS sense, {dinit}
+  FROM xq WHERE rn <= {k}
+)"""]
+    dot = " + ".join(f"x.x{i} * c.d{i}" for i in range(D))
+    means = ", ".join(f"SUM(x{i}) / COUNT(*) AS m{i}" for i in range(D))
+    upd = ", ".join(
+        f"COALESCE(floor(m.m{i} * {Q}) / {Q}, c.d{i}) AS d{i}"
+        for i in range(D)
+    )
+    for r in range(1, n_iter + 1):
+        parts.append(f""",
+a{r} AS MATERIALIZED (
+  SELECT doc_id, p, word, sense, {xcols} FROM (
+    SELECT d.*, row_number() OVER (PARTITION BY word, doc_id, p
+                                   ORDER BY dot DESC, sense ASC) AS rk
+    FROM (SELECT x.doc_id, x.p, x.word, {xcols}, c.sense,
+                 ({dot}) AS dot
+          FROM xq x JOIN c{r - 1} c USING (word)) d
+  ) WHERE rk = 1
+),
+c{r} AS MATERIALIZED (
+  SELECT c.word, c.sense, {upd}
+  FROM c{r - 1} c LEFT JOIN (
+    SELECT word, sense, {means} FROM a{r} GROUP BY word, sense
+  ) m USING (word, sense)
+)""")
+    norm2 = " + ".join(f"c.d{i} * c.d{i}" for i in range(D))
+    parts.append(f"""
+SELECT c.word, c.sense, CAST(COALESCE(n.cnt, 0) AS BIGINT) AS n_contexts,
+       floor(sqrt({norm2}) * 1e6) / 1e6 AS sense_norm
+FROM c{n_iter} c
+LEFT JOIN (SELECT word, sense, COUNT(*) AS cnt
+           FROM a{n_iter} GROUP BY 1, 2) n USING (word, sense)
+""")
+    return "".join(parts)
+
+
+SQL_MSSG_SENSES = _sql_mssg_senses()
 
 
 ROWS_ONLY_QUERIES = {
@@ -2711,4 +2789,5 @@ ORACLE_SQL = {
     "similarity_flooding_docs": SQL_SF_DOCS,
     "minhash_cc_clusters": SQL_MINHASH_CC,
     "mssg_context_vectors": SQL_MSSG_CTX,
+    "mssg_senses": SQL_MSSG_SENSES,
 }

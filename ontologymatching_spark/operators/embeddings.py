@@ -146,6 +146,7 @@ def mssg_sense_vectors(
     n_senses: int = 2,
     n_iter: int = 5,
     min_contexts: int = 4,
+    quantize_pow2: int | None = None,
 ) -> DataFrame:
     """Multi-Sense Skip-Gram sense discovery — the reference thesis's MSSG
     trainer re-expressed batch-side (skipgram/src/
@@ -157,6 +158,14 @@ def mssg_sense_vectors(
 
     Deterministic under any parallelism: contexts sorted by (doc_id, pos)
     inside each group; init = first ``n_senses`` contexts in that order.
+
+    ``quantize_pow2=b`` floors every context component AND every updated
+    centroid onto the 2^-b binary grid (the similarity-flooding oracle's
+    trick): with |values| ≤ 1, all dot-product terms land on the exact
+    2^-2b grid and all partial sums stay exactly representable in a
+    double, so assignments and centroids are bit-identical in ANY
+    summation order and in any engine — which is what lets the bounded
+    k-means unroll into a DuckDB CTE twin (benchqueries.SQL_MSSG_SENSES).
     → (word, sense, sense_vec: array<double>, n_contexts)."""
     import pandas as pd
 
@@ -166,6 +175,9 @@ def mssg_sense_vectors(
         pdf = pdf.sort_values(["doc_id", "pos"], kind="mergesort")
         word = pdf["word"].iloc[0]
         X = np.array(pdf["ctx"].tolist(), dtype="float64")
+        if quantize_pow2 is not None:
+            grid = float(1 << quantize_pow2)
+            X = np.floor(X * grid) / grid
         k = min(n_senses, len(X))
         C = X[:k].copy()
         assign = np.zeros(len(X), dtype="int64")
@@ -175,6 +187,8 @@ def mssg_sense_vectors(
                 mask = assign == j
                 if mask.any():
                     C[j] = X[mask].mean(axis=0)
+                    if quantize_pow2 is not None:
+                        C[j] = np.floor(C[j] * grid) / grid
         counts = np.bincount(assign, minlength=k)
         return pd.DataFrame(
             {
