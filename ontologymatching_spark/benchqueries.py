@@ -2466,6 +2466,73 @@ def q_streaming_sessionize(spark, sf_dir):
     return got
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exact-dedup (streaming/dedupstream.py —
+    dropDuplicatesWithinWatermark, Spark's built-in bounded-state stateful
+    dedup) driven end-to-end: the documents table lands as drop 1, a full
+    duplicate copy (shifted ids, later event times) lands as drop 2, and a
+    Trigger.AvailableNow query drains both through fingerprint state ACROSS
+    the microbatch boundary. Survivors must be exactly the first arrivals —
+    the batch first-arrival window twin (SQL_STREAM_DEDUP) hash-checks
+    them."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.dedupstream import run_dedup_available_now
+
+    epoch = 1_704_067_200  # 2024-01-01 00:00:00 UTC
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    orig = docs.select(
+        "doc_id",
+        F.timestamp_seconds(F.lit(epoch) + F.col("doc_id") * 60).alias("ts"),
+        "text",
+    )
+    dups = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.timestamp_seconds(
+            F.lit(epoch) + (F.col("doc_id") + 600) * 60
+        ).alias("ts"),
+        "text",
+    )
+    root = tempfile.mkdtemp(prefix="q_dedup_stream_")
+    src, out, chk = (os.path.join(root, d) for d in ("src", "out", "chk"))
+    os.makedirs(src)
+
+    def _drop(df, name):
+        tmp = tempfile.mkdtemp(prefix="q_dedup_stage_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        shutil.move(part, os.path.join(src, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    _drop(orig, "drop1.parquet")  # time-ordered: all dups strictly later
+    _drop(dups, "drop2.parquet")
+    run_dedup_available_now(spark, src, out, chk, watermark="30 days")
+    got = spark.read.parquet(out).select("doc_id", "fingerprint")
+    # materialize the small survivor set so the temp tree can be removed
+    # now (same no-/tmp-leak discipline as q_streaming_sessionize)
+    got = got.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return got
+
+
+SQL_STREAM_DEDUP = """
+WITH all_rows AS (
+  SELECT doc_id, doc_id AS t_min, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, doc_id + 600, text FROM documents
+)
+SELECT doc_id, fingerprint FROM (
+  SELECT doc_id, md5(text) AS fingerprint,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY t_min, doc_id) AS rn
+  FROM all_rows
+) WHERE rn = 1
+"""
+
+
 MSSG_DIM = 8
 
 
@@ -2727,6 +2794,7 @@ QUERIES = {
     "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
     "embedding_neardup": q_embedding_neardup,
     "streaming_sessionize": q_streaming_sessionize,
+    "streaming_dedup": q_streaming_dedup,
     "disagreement_variance": q_disagreement_variance,
     "hierarchy_mappings": q_hierarchy_mappings,
     "alignment_delta": q_alignment_delta,
@@ -2779,6 +2847,7 @@ ORACLE_SQL = {
     "ngram_jaccard_dedup": SQL_NGRAM_DEDUP,
     "embedding_neardup": SQL_EMBED_NEARDUP,
     "streaming_sessionize": SQL_SESSIONIZE,
+    "streaming_dedup": SQL_STREAM_DEDUP,
     "disagreement_variance": SQL_DISAGREEMENT,
     "hierarchy_mappings": SQL_HIERARCHY,
     "alignment_delta": SQL_ALIGN_DELTA,

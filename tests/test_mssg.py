@@ -64,3 +64,36 @@ def test_mssg_respects_min_contexts(spark):
     # 'bank' has 8 contexts (kept); 'money' only 4 (dropped at min 5)
     words = {r.word for r in senses.collect()}
     assert "bank" in words and "money" not in words
+
+
+def test_mssg_quantized_matches_unquantized_clustering(spark):
+    """quantize_pow2 (the 2^-20 grid that makes the DuckDB oracle exact)
+    must not change the discovered clustering on well-separated senses —
+    assignments are identical, centroids within one grid step."""
+    docs, vectors = _fixture(spark)
+    ctx = context_vectors(docs, vectors, window=2)
+    plain = {
+        (r.word, r.sense): r
+        for r in mssg_sense_vectors(ctx, n_senses=2, min_contexts=4).collect()
+    }
+    quant = {
+        (r.word, r.sense): r
+        for r in mssg_sense_vectors(
+            ctx, n_senses=2, min_contexts=4, quantize_pow2=20
+        ).collect()
+    }
+    assert set(plain) == set(quant)
+    step = 1.0 / (1 << 20)
+    for k, p in plain.items():
+        q = quant[k]
+        assert q.n_contexts == p.n_contexts
+        for a, b in zip(p.sense_vec, q.sense_vec):
+            assert abs(a - b) <= 2 * step
+    # and the quantized path is itself deterministic across invocations
+    again = {
+        (r.word, r.sense): tuple(r.sense_vec)
+        for r in mssg_sense_vectors(
+            ctx, n_senses=2, min_contexts=4, quantize_pow2=20
+        ).collect()
+    }
+    assert again == {k: tuple(v.sense_vec) for k, v in quant.items()}
