@@ -171,7 +171,13 @@ def similarity_flooding(
     of the previous transition, so convergence is detected one iteration
     later at zero extra Spark jobs. ``stats['rounds']`` reports the number
     of sigma updates applied (guards the fusion in tests)."""
-    sigma0 = pairs.select("src_id", "dst_id", F.col("sim").alias("s0"))
+    # materialize the base pair table once: it is referenced by the PCG
+    # build (twice), the sigma init, AND every round's raw computation —
+    # uncheckpointed, its upstream lineage (e.g. a full TF-IDF query) would
+    # re-execute at each of those points
+    sigma0 = pairs.select(
+        "src_id", "dst_id", F.col("sim").alias("s0")
+    ).localCheckpoint()
 
     se = src_edges.select(
         F.col("child_id").alias("sa"), F.col("parent_id").alias("sb"),
@@ -181,26 +187,37 @@ def similarity_flooding(
         F.col("child_id").alias("da"), F.col("parent_id").alias("db"),
         F.col("pred") if "pred" in dst_edges.columns else F.lit("e").alias("pred"),
     )
-    # forward and backward PCG edges between pair nodes
-    fwd = se.join(de, "pred").select(
-        F.col("sa").alias("from_src"), F.col("da").alias("from_dst"),
-        F.col("sb").alias("to_src"), F.col("db").alias("to_dst"),
+    # forward PCG edges between pair nodes, built PAIRS-FIRST: anchor on the
+    # candidate pairs and walk one edge per side, requiring the far endpoints
+    # to be a candidate pair too. The naive alternative — se.join(de, "pred")
+    # then restrict — materializes a |src_edges| x |dst_edges| cross on each
+    # hot predicate BEFORE the restriction (25M rows at sf0.1's single
+    # 'grouped' pred; quadratic in docs at scale), for the identical result.
+    keys = sigma0.select(
+        F.col("src_id").alias("from_src"), F.col("dst_id").alias("from_dst")
+    )
+    fwd = (
+        keys
+        .join(se, F.col("from_src") == F.col("sa"))
+        .join(
+            de.withColumnRenamed("pred", "pred_d"),
+            (F.col("from_dst") == F.col("da"))
+            & (F.col("pred") == F.col("pred_d")),
+        )
+        .join(
+            sigma0.select(
+                F.col("src_id").alias("to_src"),
+                F.col("dst_id").alias("to_dst"),
+            ),
+            (F.col("sb") == F.col("to_src")) & (F.col("db") == F.col("to_dst")),
+        )
+        .select("from_src", "from_dst", "to_src", "to_dst")
     )
     bwd = fwd.select(
         F.col("to_src").alias("from_src"), F.col("to_dst").alias("from_dst"),
         F.col("from_src").alias("to_src"), F.col("from_dst").alias("to_dst"),
     )
     pcg = fwd.unionByName(bwd)
-    # restrict to known candidate pairs on both endpoints (sparse SF variant)
-    keys = sigma0.select(
-        F.col("src_id").alias("from_src"), F.col("dst_id").alias("from_dst")
-    )
-    pcg = pcg.join(keys, ["from_src", "from_dst"]).join(
-        sigma0.select(
-            F.col("src_id").alias("to_src"), F.col("dst_id").alias("to_dst")
-        ),
-        ["to_src", "to_dst"],
-    )
     outdeg = pcg.groupBy("from_src", "from_dst").agg(
         F.count("*").alias("deg")
     )
