@@ -2206,9 +2206,14 @@ def q_joslyn_distance_quality(spark, sf_dir):
     od = order_discrepancy(align, sanc, danc)
     return (
         up.select(
-            F.col("quality").alias("upper_quality"), "n_mapping_pairs"
+            F.col("quality").alias("upper_quality"),
+            F.col("discrepancy").alias("upper_discrepancy"),
+            "n_mapping_pairs",
         )
-        .crossJoin(lo.select(F.col("quality").alias("lower_quality")))
+        .crossJoin(lo.select(
+            F.col("quality").alias("lower_quality"),
+            F.col("discrepancy").alias("lower_discrepancy"),
+        ))
         .crossJoin(od.select("order_discrepancy"))
     )
 
@@ -2316,13 +2321,15 @@ mp AS MATERIALIZED (
 {sides},
 qu AS (
   SELECT ROUND(1.0 - COALESCE(AVG(ABS(su.dist - du.dist)), 0.0), 6) AS q,
+         ROUND(COALESCE(AVG(ABS(su.dist - du.dist)), 0.0), 6) AS disc,
          COUNT(*) AS n
   FROM mp
   JOIN d_su su ON su.x = mp.a1 AND su.y = mp.a2
   JOIN d_du du ON du.x = mp.a1p AND du.y = mp.a2p
 ),
 ql AS (
-  SELECT ROUND(1.0 - COALESCE(AVG(ABS(sl.dist - dl.dist)), 0.0), 6) AS q
+  SELECT ROUND(1.0 - COALESCE(AVG(ABS(sl.dist - dl.dist)), 0.0), 6) AS q,
+         ROUND(COALESCE(AVG(ABS(sl.dist - dl.dist)), 0.0), 6) AS disc
   FROM mp
   JOIN d_sl sl ON sl.x = mp.a1 AND sl.y = mp.a2
   JOIN d_dl dl ON dl.x = mp.a1p AND dl.y = mp.a2p
@@ -2343,8 +2350,10 @@ qo AS (
   SELECT ROUND(COALESCE(AVG(CASE WHEN ord_src != ord_dst THEN 1.0 ELSE 0.0 END), 0.0), 6) AS q
   FROM o
 )
-SELECT qu.q AS upper_quality, qu.n AS n_mapping_pairs,
-       ql.q AS lower_quality, qo.q AS order_discrepancy
+SELECT qu.q AS upper_quality, qu.disc AS upper_discrepancy,
+       qu.n AS n_mapping_pairs,
+       ql.q AS lower_quality, ql.disc AS lower_discrepancy,
+       qo.q AS order_discrepancy
 FROM qu, ql, qo
 """
 
@@ -2744,6 +2753,237 @@ LEFT JOIN (SELECT word, sense, COUNT(*) AS cnt
 SQL_MSSG_SENSES = _sql_mssg_senses()
 
 
+def q_ufl_quality(spark, sf_dir):
+    """User-feedback-loop candidate-quality metrics (qualityEvaluation/
+    metrics/ufl/CrossCountQuality.java, CrossSumQuality.java,
+    SimilarityScoreDefinitness.java, shi/SimilarityDistance.java,
+    shi/MultiMatcherConfidence.java, ConsensusQuality.java,
+    ExpandedConsensus.java, PropagationImpactMetric.java,
+    RevalidationRate.java, IntraCouplingQualityMetric.java — see
+    operators/ufl.py) over the blocked 3-matcher signature matrix.
+
+    The ensemble score is the signature mean floored onto the 2^-20 binary
+    grid (exact cross-engine sums for the row/col aggregates, per the MSSG
+    lesson); user validations are synthesized deterministically from
+    md5-derived vote counts (≤ 5 validations per cell, the reference's
+    maxRevalidation), so every feedback metric is DuckDB-twinnable.
+    SimilarityDistance's per-cell row/col scan is two window passes
+    (sorted-adjacent-difference min), never a self-join."""
+    from .functions.spark_sims import (
+        dice_col,
+        jaccard_col,
+        lev_min_norm_col,
+        shingles_col,
+    )
+    from .operators.ufl import (
+        consensus_quality,
+        cross_count_quality,
+        cross_sum_quality,
+        expanded_consensus,
+        intra_coupling,
+        multi_matcher_confidence,
+        propagation_impact,
+        revalidation_rate,
+        similarity_definiteness,
+        similarity_distance,
+    )
+
+    names = _doc_names(spark, sf_dir)
+    s = names.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("src_doc_id"),
+        F.col("name").alias("s_name"), "block_key",
+    )
+    d = names.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("dst_doc_id"),
+        F.col("name").alias("d_name"), "block_key",
+    )
+    grid = float(1 << 20)
+    p = (
+        s.join(d, "block_key")
+        .withColumn("sim_lev", lev_min_norm_col(F.col("s_name"), F.col("d_name")))
+        .withColumn(
+            "sim_qgram",
+            jaccard_col(shingles_col(F.col("s_name"), 3),
+                        shingles_col(F.col("d_name"), 3)),
+        )
+        .withColumn(
+            "sim_dice",
+            dice_col(F.split(F.col("s_name"), " "), F.split(F.col("d_name"), " ")),
+        )
+        .withColumn(
+            "sim",
+            F.floor(
+                (F.col("sim_lev") + F.col("sim_qgram") + F.col("sim_dice"))
+                / 3.0 * grid
+            ) / grid,
+        )
+        .filter(F.col("sim") > 0)
+    )
+    key = F.concat_ws(
+        "_", F.col("src_doc_id").cast("string"), F.col("dst_doc_id").cast("string")
+    )
+    total = _md5int_col(F.concat(F.lit("v_"), key)) % 6
+    h2 = _md5int_col(F.concat(F.lit("p_"), key))
+    p = (
+        p.withColumn(
+            "pos",
+            F.when(total == 0, F.lit(0).cast("long")).otherwise(h2 % (total + 1)),
+        )
+        .withColumn("neg", total - F.col("pos"))
+        .select("src_doc_id", "dst_doc_id", "sim_lev", "sim_qgram", "sim_dice",
+                "sim", "pos", "neg")
+        .cache()
+    )
+    n_src = names.filter(F.col("doc_id") % 2 == 0).count()
+    n_dst = names.filter(F.col("doc_id") % 2 == 1).count()
+
+    m = cross_count_quality(p, "src_doc_id", "dst_doc_id", "sim")
+    m = cross_sum_quality(m, "src_doc_id", "dst_doc_id", "sim")
+    m = similarity_definiteness(m, "sim")
+    m = multi_matcher_confidence(
+        m, ["sim_lev", "sim_qgram", "sim_dice"], threshold=0.7,
+        out="mm_confidence",
+    )
+    m = similarity_distance(
+        m, "src_doc_id", "dst_doc_id", "sim", n_rows=n_src, n_cols=n_dst,
+    )
+    m = consensus_quality(m, "pos", "neg", max_revalidation=5)
+    m = expanded_consensus(m, "pos", "neg", "sim", threshold=0.7,
+                           max_revalidation=5)
+    m = propagation_impact(m, "pos", "neg", validation=5)
+    m = revalidation_rate(m, "pos", "neg")
+    ic = intra_coupling(p, "src_doc_id", "dst_doc_id", "sim")
+    return m.crossJoin(F.broadcast(ic)).select(
+        "src_doc_id", "dst_doc_id", "pos", "neg",
+        F.round("sim", 6).alias("sim"),
+        F.round("cross_count", 6).alias("cross_count"),
+        F.round("cross_sum", 6).alias("cross_sum"),
+        F.round("definiteness", 6).alias("definiteness"),
+        F.round("mm_confidence", 6).alias("mm_confidence"),
+        F.round("sim_distance", 6).alias("sim_distance"),
+        F.round("consensus", 6).alias("consensus"),
+        F.round("expanded_consensus", 6).alias("expanded_consensus"),
+        F.round("propagation_impact", 6).alias("propagation_impact"),
+        F.round("revalidation_rate", 6).alias("revalidation_rate"),
+        F.round("intra_coupling", 6).alias("intra_coupling"),
+    )
+
+
+_UFL_GRID = float(1 << 20)
+
+SQL_UFL_QUALITY = f"""
+WITH names AS ({_SQL_DOC_NAMES}),
+s AS (SELECT doc_id AS src_doc_id, name AS s_name, block_key FROM names WHERE doc_id % 2 = 0),
+d AS (SELECT doc_id AS dst_doc_id, name AS d_name, block_key FROM names WHERE doc_id % 2 = 1),
+sh AS (
+  SELECT src_doc_id, dst_doc_id, s_name, d_name,
+         CASE WHEN length(s_name) = 0 AND length(d_name) = 0 THEN 1.0
+              WHEN least(length(s_name), length(d_name)) = 0 THEN 0.0
+              ELSE 1.0 - least(levenshtein(s_name, d_name),
+                               least(length(s_name), length(d_name)))::DOUBLE
+                         / least(length(s_name), length(d_name))
+         END AS sim_lev
+  FROM s JOIN d USING (block_key)
+),
+gr AS (
+  SELECT *,
+    (CASE WHEN length(lower(s_name)) = 0 THEN []::VARCHAR[]
+          WHEN length(lower(s_name)) < 3 THEN [lower(s_name)]
+          ELSE list_transform(range(1, length(s_name) - 1), i -> substr(lower(s_name), i::INT, 3)) END) AS sg,
+    (CASE WHEN length(lower(d_name)) = 0 THEN []::VARCHAR[]
+          WHEN length(lower(d_name)) < 3 THEN [lower(d_name)]
+          ELSE list_transform(range(1, length(d_name) - 1), i -> substr(lower(d_name), i::INT, 3)) END) AS dg,
+    string_split(s_name, ' ') AS st, string_split(d_name, ' ') AS dt
+  FROM sh
+),
+sims AS (
+  SELECT src_doc_id, dst_doc_id, sim_lev,
+    CASE WHEN len(list_distinct(list_concat(list_distinct(sg), list_distinct(dg)))) = 0 THEN 1.0
+         ELSE len(list_intersect(list_distinct(sg), list_distinct(dg)))::DOUBLE
+              / len(list_distinct(list_concat(list_distinct(sg), list_distinct(dg))))
+    END AS sim_qgram,
+    CASE WHEN len(list_distinct(st)) + len(list_distinct(dt)) = 0 THEN 1.0
+         ELSE 2.0 * len(list_intersect(list_distinct(st), list_distinct(dt)))::DOUBLE
+              / (len(list_distinct(st)) + len(list_distinct(dt)))
+    END AS sim_dice
+  FROM gr
+),
+m AS MATERIALIZED (
+  SELECT *,
+    CASE WHEN total = 0 THEN 0 ELSE h2 % (total + 1) END AS pos,
+    total - (CASE WHEN total = 0 THEN 0 ELSE h2 % (total + 1) END) AS neg
+  FROM (
+    SELECT src_doc_id, dst_doc_id, sim_lev, sim_qgram, sim_dice,
+           floor((sim_lev + sim_qgram + sim_dice) / 3.0 * {_UFL_GRID}) / {_UFL_GRID} AS sim,
+           ('0x' || substr(md5('v_' || src_doc_id::VARCHAR || '_' || dst_doc_id::VARCHAR), 1, 8))::BIGINT % 6 AS total,
+           ('0x' || substr(md5('p_' || src_doc_id::VARCHAR || '_' || dst_doc_id::VARCHAR), 1, 8))::BIGINT AS h2
+    FROM sims
+  ) WHERE sim > 0
+),
+rc AS (SELECT src_doc_id, COUNT(*) AS rc FROM m GROUP BY 1),
+cc AS (SELECT dst_doc_id, COUNT(*) AS cc FROM m GROUP BY 1),
+rs AS (SELECT src_doc_id, SUM(sim) AS rs FROM m GROUP BY 1),
+cs AS (SELECT dst_doc_id, SUM(sim) AS cs FROM m GROUP BY 1),
+norms AS (
+  SELECT (SELECT MAX(rc) FROM rc) AS mrc, (SELECT MAX(cc) FROM cc) AS mcc,
+         (SELECT MAX(rs) FROM rs) AS mrs, (SELECT MAX(cs) FROM cs) AS mcs,
+         (SELECT COUNT(*) FROM names WHERE doc_id % 2 = 0) AS nsrc,
+         (SELECT COUNT(*) FROM names WHERE doc_id % 2 = 1) AS ndst,
+         (SELECT GREATEST(MAX(pos) + MAX(neg), 1) FROM m) AS maxrep
+),
+nb AS (
+  SELECT *,
+    LEAST(COALESCE(sim - lag(sim) OVER (PARTITION BY src_doc_id ORDER BY sim ASC), 1e9),
+          COALESCE(lead(sim) OVER (PARTITION BY src_doc_id ORDER BY sim ASC) - sim, 1e9)) AS rmin,
+    LEAST(COALESCE(sim - lag(sim) OVER (PARTITION BY dst_doc_id ORDER BY sim ASC), 1e9),
+          COALESCE(lead(sim) OVER (PARTITION BY dst_doc_id ORDER BY sim ASC) - sim, 1e9)) AS cmin
+  FROM m
+),
+ic AS (
+  SELECT COUNT(DISTINCT dst_doc_id)::DOUBLE / COUNT(*) AS intra_coupling
+  FROM (
+    SELECT src_doc_id, dst_doc_id FROM (
+      SELECT src_doc_id, dst_doc_id,
+             row_number() OVER (PARTITION BY src_doc_id
+                                ORDER BY sim DESC, dst_doc_id ASC) AS rn
+      FROM m
+    ) WHERE rn = 1
+  )
+)
+SELECT nb.src_doc_id, nb.dst_doc_id, nb.pos, nb.neg,
+  ROUND(nb.sim, 6) AS sim,
+  ROUND((rc.rc + cc.cc)::DOUBLE / (norms.mrc + norms.mcc), 6) AS cross_count,
+  ROUND((rs.rs + cs.cs) / (norms.mrs + norms.mcs), 6) AS cross_sum,
+  ROUND(2.0 * ABS(nb.sim - 0.5), 6) AS definiteness,
+  ROUND((ABS(0.7 - nb.sim_lev) + ABS(0.7 - nb.sim_qgram) + ABS(0.7 - nb.sim_dice)) / 3.0, 6) AS mm_confidence,
+  ROUND(LEAST(nb.rmin, nb.cmin,
+              CASE WHEN rc.rc < norms.ndst THEN ABS(nb.sim) ELSE 1e9 END,
+              CASE WHEN cc.cc < norms.nsrc THEN ABS(nb.sim) ELSE 1e9 END), 6) AS sim_distance,
+  ROUND(CASE WHEN nb.pos = nb.neg THEN 0.0
+             WHEN nb.pos = 3 OR nb.neg = 3 THEN 1.0
+             ELSE ABS(nb.pos - nb.neg)::DOUBLE / 3.0 END, 6) AS consensus,
+  ROUND(CASE WHEN p2 = n2 THEN 0.0
+             WHEN p2 = 3 OR n2 = 3 THEN 1.0
+             ELSE ABS(p2 - n2)::DOUBLE / 3.0 END, 6) AS expanded_consensus,
+  ROUND(CASE WHEN nb.pos = 3 OR nb.neg = 3 THEN 0.0
+             ELSE LEAST(3 - nb.pos, 3 - nb.neg)::DOUBLE
+                  / GREATEST(3 - nb.pos, 3 - nb.neg) END, 6) AS propagation_impact,
+  ROUND((nb.pos + nb.neg)::DOUBLE / norms.maxrep, 6) AS revalidation_rate,
+  ROUND(ic.intra_coupling, 6) AS intra_coupling
+FROM (
+  SELECT *,
+    CASE WHEN pos + neg = 1 AND sim > 0.7 THEN pos + 1 ELSE pos END AS p2,
+    CASE WHEN pos + neg = 1 AND NOT (sim > 0.7) THEN neg + 1 ELSE neg END AS n2
+  FROM nb
+) nb
+JOIN rc USING (src_doc_id)
+JOIN cc USING (dst_doc_id)
+JOIN rs USING (src_doc_id)
+JOIN cs USING (dst_doc_id)
+CROSS JOIN norms CROSS JOIN ic
+"""
+
+
 ROWS_ONLY_QUERIES = {
     # only the k-means tail remains rows-only; its context-vector front half
     # is value-hash-checked via mssg_context_vectors
@@ -2805,6 +3045,7 @@ QUERIES = {
     "similarity_flooding_docs": q_similarity_flooding_docs,
     "minhash_cc_clusters": q_minhash_cc_clusters,
     "mssg_context_vectors": q_mssg_context_vectors,
+    "ufl_quality": q_ufl_quality,
     **ROWS_ONLY_QUERIES,
 }
 
@@ -2859,4 +3100,5 @@ ORACLE_SQL = {
     "minhash_cc_clusters": SQL_MINHASH_CC,
     "mssg_context_vectors": SQL_MSSG_CTX,
     "mssg_senses": SQL_MSSG_SENSES,
+    "ufl_quality": SQL_UFL_QUALITY,
 }

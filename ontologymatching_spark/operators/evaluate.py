@@ -247,7 +247,13 @@ def distance_preservation(
     the reference's level-scan, expressed as a relational max. Deviation
     (documented): each side normalizes by ITS OWN dag's diameter; the
     reference passes the source dag for both (JoslynStructuralQuality:365 —
-    an upstream bug not reproduced). → one row (quality, n_mapping_pairs)."""
+    an upstream bug not reproduced). → one row (quality, discrepancy,
+    n_mapping_pairs); ``discrepancy`` is the raw Σ/C(n,2) — with
+    mode='lower' this is LowerDistanceDiscrepancyQM.java:30-43
+    (JoslynStructuralQuality with PREF_USE_PRESERVATION=false), with
+    mode='upper' the upper-distance twin. Computed from the same
+    aggregation but rounded independently of ``quality`` (1−q is not
+    bit-safe through round(·,6))."""
     pairs = _mapping_pairs(alignment, max_pairs).localCheckpoint()
 
     def _diameter(anc: DataFrame, nodes: DataFrame) -> float:
@@ -321,5 +327,11 @@ def distance_preservation(
             ),
             6,
         ).alias("quality"),
+        F.round(
+            F.coalesce(
+                F.avg(F.abs(F.col("d_src") - F.col("d_dst"))), F.lit(0.0)
+            ),
+            6,
+        ).alias("discrepancy"),
         F.count(F.lit(1)).alias("n_mapping_pairs"),
     )
