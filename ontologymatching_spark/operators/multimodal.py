@@ -2,16 +2,17 @@
 opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` UDFs.
 
-AUDIO and IMAGE decode REAL bytes: audio payloads are genuine RIFF/WAVE PCM
-files parsed with the pure-stdlib ``wave`` module (duration, rms, peak,
-clipping ratio), and image payloads are genuine uncompressed 24-bit BMP
-files parsed with ``struct`` + numpy (dimensions, per-channel means, luma
-mean/std) — both inside the same mapInPandas plumbing. Only the VIDEO
-decode kernel remains STUBBED (pyav/ffmpeg are not in this container): it
-raises ``NotImplementedError`` unless ``fake_decode=True``, in which case a
-deterministic fake (content-hash-seeded byte grid) stands in so the
-Spark-side plumbing — schema, partitioning, UDF signature, Arrow batch
-shape — is real and tested end-to-end.
+ALL THREE modalities decode REAL bytes with pure stdlib + numpy parsers:
+audio payloads are genuine RIFF/WAVE PCM files (``wave`` module → duration,
+rms, peak, clipping ratio), image payloads are genuine uncompressed 24-bit
+BMP files (``struct`` + numpy → dimensions, per-channel means, luma
+mean/std), and video payloads are genuine RIFF/AVI containers with
+uncompressed 24-bit DIB frames (``struct`` + numpy chunk walk → dims, frame
+count, fps, per-frame luma, inter-frame motion). Compressed codecs
+(H.264/JPEG/MP3…) would need pyav/ffmpeg/PIL, absent from this container —
+``extract_features(fake_decode=True)`` keeps a deterministic content-hash
+stand-in for such payloads; the uncompressed formats exercise the full
+byte-level decode path end-to-end.
 """
 
 from __future__ import annotations
@@ -149,6 +150,229 @@ def _bmp_stats(payload: bytes) -> dict:
     }
 
 
+VIDEO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("fps", StringType()),        # fixed 6-dec strings keep
+        StructField("duration_ms", IntegerType()),
+        StructField("luma_mean", StringType()),  # cross-engine hashes exact
+        StructField("motion", StringType()),
+    ]
+)
+
+FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", IntegerType()),
+        StructField("luma_mean", StringType()),
+    ]
+)
+
+
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) % 2 else b""
+    return fourcc + struct.pack("<I", len(data)) + data + pad
+
+
+def _riff_list(list_type: bytes, data: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + data)
+
+
+def make_avi_bytes(
+    width: int, height: int, n_frames: int, fps: int = 10, seed: int = 0
+) -> bytes:
+    """A genuine RIFF/AVI container (hdrl: avih + strl[strh 'vids'/'DIB ' +
+    strf BITMAPINFOHEADER], movi: one '00db' uncompressed bottom-up BGR DIB
+    chunk per frame): a seeded gradient grid rolled horizontally per frame,
+    so consecutive frames differ deterministically (real motion signal).
+    stdlib ``struct`` + numpy, no video libs."""
+    rng = np.random.default_rng(seed)
+    x = np.arange(width, dtype="float64")[None, :]
+    y = np.arange(height, dtype="float64")[:, None]
+    r = (x * 255.0 / max(width - 1, 1)) + rng.integers(0, 16, (height, width))
+    g = (y * 255.0 / max(height - 1, 1)) + rng.integers(0, 16, (height, width))
+    b = ((x + y) * 127.0 / max(width + height - 2, 1)) + rng.integers(
+        0, 16, (height, width)
+    )
+    base = np.stack(
+        [np.clip(b, 0, 255), np.clip(g, 0, 255), np.clip(r, 0, 255)], axis=-1
+    ).astype("u1")  # BGR, top-down logical order
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    frames = []
+    for f in range(n_frames):
+        pix = np.roll(base, f, axis=1)
+        rows = []
+        for i in range(height - 1, -1, -1):  # DIB frames store bottom-up
+            rows.append(pix[i].tobytes() + b"\x00" * pad)
+        frames.append(b"".join(rows))
+    frame_size = (row_bytes + pad) * height
+    avih = struct.pack(
+        "<14I", int(1_000_000 / fps), 0, 0, 0, n_frames, 0, 1, frame_size,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHH8I4h", b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n_frames,
+        frame_size, 0, 0, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 2835, 2835,
+        0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                     + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(
+        b"movi", b"".join(_riff_chunk(b"00db", fr) for fr in frames)
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_frames(payload: bytes):
+    """Walk a RIFF/AVI byte stream (struct, no libs): returns (width, height,
+    n_frames_declared, fps, frame luma-mean list). Raises ValueError on
+    anything that is not an uncompressed 24-bit DIB AVI."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload (missing RIFF/AVI magic)")
+
+    def chunks(buf: bytes, off: int, end: int):
+        while off + 8 <= end:
+            fourcc = buf[off:off + 4]
+            (size,) = struct.unpack("<I", buf[off + 4:off + 8])
+            yield fourcc, off + 8, size
+            off += 8 + size + (size % 2)
+
+    width = height = n_frames = None
+    scale = rate = None
+    frames = []
+    for fourcc, data_off, size in chunks(payload, 12, len(payload)):
+        if fourcc != b"LIST":
+            continue
+        list_type = payload[data_off:data_off + 4]
+        if list_type == b"hdrl":
+            for fc2, off2, sz2 in chunks(payload, data_off + 4,
+                                         data_off + size):
+                if fc2 == b"avih":
+                    hdr = struct.unpack("<14I", payload[off2:off2 + 56])
+                    n_frames, width, height = hdr[4], hdr[8], hdr[9]
+                elif fc2 == b"LIST" and payload[off2:off2 + 4] == b"strl":
+                    for fc3, off3, sz3 in chunks(payload, off2 + 4,
+                                                 off2 + sz2):
+                        if fc3 == b"strh":
+                            sh = struct.unpack(
+                                "<4s4sIHH8I4h", payload[off3:off3 + 56]
+                            )
+                            if sh[0] == b"vids":
+                                scale, rate = sh[6], sh[7]
+        elif list_type == b"movi":
+            for fc2, off2, sz2 in chunks(payload, data_off + 4,
+                                         data_off + size):
+                if fc2 in (b"00db", b"00dc"):
+                    frames.append((off2, sz2))
+    if width is None or not frames:
+        raise ValueError("AVI missing avih header or movi frames")
+    row_bytes = width * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    lumas = []
+    for off, sz in frames:
+        if sz < stride * height:
+            raise ValueError("truncated DIB frame")
+        raw = np.frombuffer(payload, dtype="u1", count=stride * height,
+                            offset=off)
+        rows = raw.reshape(height, stride)[:, :row_bytes][::-1]  # bottom-up
+        pix = rows.reshape(height, width, 3).astype("float64")  # B,G,R
+        luma = (0.114 * pix[..., 0] + 0.587 * pix[..., 1]
+                + 0.299 * pix[..., 2])
+        lumas.append(float(luma.mean()))
+    fps = (rate / scale) if (rate and scale) else 0.0
+    return width, height, n_frames, fps, lumas
+
+
+def _avi_stats(payload: bytes) -> dict:
+    """Real AVI decode → container + motion stats. motion = mean |Δ luma|
+    between consecutive frames (0.0 for single-frame clips)."""
+    width, height, n_frames, fps, lumas = _avi_frames(payload)
+    diffs = [abs(b - a) for a, b in zip(lumas, lumas[1:])]
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": len(lumas),
+        "fps": fps,
+        "duration_ms": int(round(len(lumas) * 1000.0 / fps)) if fps else 0,
+        "luma_mean": sum(lumas) / len(lumas),
+        "motion": (sum(diffs) / len(diffs)) if diffs else 0.0,
+    }
+
+
+def decode_video_stats(media: DataFrame) -> DataFrame:
+    """Video rows → real decoded container/motion stats via mapInPandas.
+    REAL decoder (uncompressed-DIB AVI), no fake path: malformed bytes
+    raise, as a production pipeline would surface them."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                st = _avi_stats(bytes(r.payload))
+                out.append(
+                    {
+                        "media_id": r.media_id,
+                        "width": st["width"],
+                        "height": st["height"],
+                        "n_frames": st["n_frames"],
+                        "fps": f"{st['fps']:.6f}",
+                        "duration_ms": st["duration_ms"],
+                        "luma_mean": f"{st['luma_mean']:.6f}",
+                        "motion": f"{st['motion']:.6f}",
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in VIDEO_STATS_SCHEMA.fields]
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        run, VIDEO_STATS_SCHEMA
+    )
+
+
+def video_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """Per-frame decode: one output row per sampled frame (every_n-th) —
+    the real-decode realization of ``frame_sample_plan``. Frames of one
+    video stay in its input row's task; for long videos the plan-side
+    explode (frame_sample_plan) + a per-frame decode against byte-range
+    reads would distribute further."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                _, _, _, fps, lumas = _avi_frames(bytes(r.payload))
+                for i in range(0, len(lumas), every_n):
+                    out.append(
+                        {
+                            "media_id": r.media_id,
+                            "frame_idx": i,
+                            "ts_ms": int(round(i * 1000.0 / fps)) if fps else 0,
+                            "luma_mean": f"{lumas[i]:.6f}",
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FRAME_STATS_SCHEMA.fields]
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        run, FRAME_STATS_SCHEMA
+    )
+
+
 def decode_image_stats(media: DataFrame) -> DataFrame:
     """Image rows → real decoded pixel stats via mapInPandas (one Arrow
     batch of BMP payloads in, one stats batch out). REAL decoder, no fake
@@ -275,10 +499,9 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
 
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table. Audio payloads are REAL WAV files
-    (sine PCM, frequency/duration varied per row) and image payloads are
-    REAL 24-bit BMP files (gradient+noise grid sized per row); only video
-    payloads stay opaque seeded bytes (its decoder is the stubbed kernel)."""
+    """Deterministic media table with REAL payload bytes in every modality:
+    WAV sine PCM (audio), 24-bit BMP gradient+noise grids (image), and
+    uncompressed-DIB AVI clips with per-frame motion (video)."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
@@ -294,14 +517,16 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         elif kind == "image":
             payload = make_bmp_bytes(w, h, seed=seed * 100_003 + i)
         else:
-            payload = rng.integers(
-                0, 256, size=int(rng.integers(64, 512))
-            ).astype(np.uint8).tobytes()
+            n_frames = int(rng.integers(2, 8))
+            payload = make_avi_bytes(
+                w, h, n_frames=n_frames, fps=10, seed=seed * 100_003 + i
+            )
+            dur_ms = n_frames * 100  # 10 fps
         rows.append(
             (
                 i, kind,
                 {"image": "image/bmp", "audio": "audio/wav",
-                 "video": "video/mp4"}[kind],
+                 "video": "video/x-msvideo"}[kind],
                 bytearray(payload),
                 w if kind != "audio" else None,
                 h if kind != "audio" else None,
@@ -322,10 +547,12 @@ def extract_features(
     media: DataFrame, dim: int = 16, fake_decode: bool = False
 ) -> DataFrame:
     """media → per-item feature rows via mapInPandas (one Arrow batch of
-    binary payloads in, one batch of feature rows out). Audio (WAV) and
-    image (BMP) rows decode REAL bytes; only video still needs
-    ``fake_decode=True`` (pyav absent). A production embedder would slot
-    into the same partitioning/batching/lineage."""
+    binary payloads in, one batch of feature rows out). Audio (WAV), image
+    (BMP) and video (uncompressed-DIB AVI) rows all decode REAL bytes;
+    ``fake_decode=True`` substitutes the deterministic content-hash feature
+    for video payloads in codecs this container can't decode (no
+    pyav/ffmpeg). A production embedder would slot into the same
+    partitioning/batching/lineage."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -352,15 +579,28 @@ def extract_features(
                         st["width"] / 4096.0, st["height"] / 4096.0,
                     ]
                     feat = [base[i % len(base)] for i in range(dim)]
-                elif not fake_decode:
-                    raise NotImplementedError(
-                        "video decode requires pyav/ffmpeg, not present in "
-                        "this environment; pass fake_decode=True for the "
-                        "deterministic stand-in (audio+image decode real "
-                        "bytes)"
-                    )
-                else:
+                elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    # REAL decode: struct+numpy AVI walk → motion feature
+                    st = _avi_stats(payload)
+                    diag = max((st["width"] ** 2 + st["height"] ** 2) ** 0.5,
+                               1.0)
+                    base = [
+                        st["luma_mean"] / 255.0, st["motion"] / 255.0,
+                        st["n_frames"] / 512.0, st["fps"] / 120.0,
+                        st["duration_ms"] / 60000.0,
+                        st["width"] / 4096.0, st["height"] / 4096.0,
+                        diag / 5793.0,
+                    ]
+                    feat = [base[i % len(base)] for i in range(dim)]
+                elif fake_decode:
                     feat = _fake_feature(payload, dim)
+                else:
+                    raise ValueError(
+                        "video payload is not an uncompressed-DIB AVI; "
+                        "compressed codecs need pyav/ffmpeg (absent here) — "
+                        "pass fake_decode=True for the deterministic "
+                        "stand-in"
+                    )
                 out.append(
                     {
                         "media_id": r.media_id,
@@ -380,9 +620,10 @@ def extract_features(
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expands each video row into frame
-    timestamps JVM-side (sequence + explode); the decode of each frame is the
-    stubbed kernel above. Shows the partitioning story: explode first, then
-    decode per frame row, so frames of one video parallelize across tasks."""
+    timestamps JVM-side (sequence + explode) — the scale-path twin of
+    ``video_frame_stats`` (which decodes whole payloads per row): explode
+    first, then decode per frame row against byte-range reads, so frames of
+    one long video parallelize across tasks."""
     vids = media.filter(F.col("kind") == "video")
     return vids.select(
         "media_id",

@@ -171,16 +171,22 @@ def test_multimodal_plumbing(spark):
     assert len(feats) == 30
     assert set(feats["feat_dim"]) == {8}
     assert feats["payload_sha256"].str.len().eq(64).all()
-    # only the video decode path is stubbed; audio (WAV) and image (BMP)
-    # decode real bytes, so the non-fake run fails only on the video rows
-    with pytest.raises(Exception, match="NotImplementedError|video decode"):
-        multimodal.extract_features(
-            media.filter(F.col("kind") == "video"), dim=8, fake_decode=False
-        ).count()
+    # all three modalities decode REAL bytes (WAV / BMP / DIB-AVI)
     real_feats = multimodal.extract_features(
-        media.filter(F.col("kind") != "video"), dim=8, fake_decode=False
+        media, dim=8, fake_decode=False
     ).toPandas()
-    assert len(real_feats) == media.filter(F.col("kind") != "video").count()
+    assert len(real_feats) == 30
+    # a compressed-codec (non-AVI) video payload needs the fake path
+    fake_vid = spark.createDataFrame(
+        [(99, "video", "video/mp4", bytearray(b"\x00\x01mp4 junk"),
+          8, 8, 100)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="ValueError|not an uncompressed"):
+        multimodal.extract_features(fake_vid, dim=8, fake_decode=False).count()
+    assert multimodal.extract_features(
+        fake_vid, dim=8, fake_decode=True
+    ).count() == 1
 
 
 def test_wav_decode_real_bytes(spark):
@@ -320,3 +326,89 @@ def test_bmp_decode_real_bytes(spark):
     )
     with pytest.raises(Exception):
         multimodal.decode_image_stats(bad).count()
+
+
+def test_avi_decode_real_bytes(spark):
+    """The video decoder parses REAL RIFF/AVI bytes: a hand-built 2-frame
+    3x2 DIB clip with known pixels must come back with exact per-frame
+    lumas, motion = |Δ luma|, and container metadata; malformed payloads
+    raise."""
+    import numpy as np
+
+    from ontologymatching_spark.operators.multimodal import (
+        _avi_frames, make_avi_bytes,
+    )
+
+    payload = make_avi_bytes(3, 2, n_frames=2, fps=10, seed=5)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    w, h, n_declared, fps, lumas = _avi_frames(payload)
+    assert (w, h, n_declared) == (3, 2, 2)
+    assert fps == 10.0
+    assert len(lumas) == 2
+    # frame 1 is frame 0 rolled by one column: same pixel multiset → equal
+    # mean luma (roll is a permutation)
+    assert lumas[0] == pytest.approx(lumas[1], abs=1e-9)
+
+    media = spark.createDataFrame(
+        [(0, "video", "video/x-msvideo", bytearray(payload), 3, 2, 200)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.decode_video_stats(media).collect()[0]
+    assert (row.width, row.height, row.n_frames) == (3, 2, 2)
+    assert float(row.fps) == 10.0
+    assert row.duration_ms == 200
+    assert float(row.motion) == pytest.approx(0.0, abs=1e-6)  # roll = perm
+
+    # hand-built single-column clip where motion is nonzero: 1x1 frames
+    # with luma 0 then 255
+    fr0 = np.array([[[0, 0, 0]]], dtype="u1")
+    fr1 = np.array([[[255, 255, 255]]], dtype="u1")
+    import struct as _s
+
+    def chunk(fcc, data):
+        return fcc + _s.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) % 2 else b""
+        )
+
+    def lst(t, data):
+        return chunk(b"LIST", t + data)
+
+    frame_bytes = [f[0, :, ::-1].tobytes() + b"\x00" for f in (fr0, fr1)]
+    avih = _s.pack("<14I", 100000, 0, 0, 0, 2, 0, 1, 4, 1, 1, 0, 0, 0, 0)
+    strh = _s.pack("<4s4sIHH8I4h", b"vids", b"DIB ", 0, 0, 0, 0, 1, 10, 0,
+                   2, 4, 0, 0, 0, 0, 1, 1)
+    strf = _s.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 0, 4, 2835, 2835, 0, 0)
+    body = (b"AVI "
+            + lst(b"hdrl", chunk(b"avih", avih)
+                  + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+            + lst(b"movi", b"".join(chunk(b"00db", f) for f in frame_bytes)))
+    hand = b"RIFF" + _s.pack("<I", len(body)) + body
+    media2 = spark.createDataFrame(
+        [(1, "video", "video/x-msvideo", bytearray(hand), 1, 1, 200)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row2 = multimodal.decode_video_stats(media2).collect()[0]
+    assert float(row2.luma_mean) == pytest.approx(127.5, abs=1e-6)
+    assert float(row2.motion) == pytest.approx(255.0, abs=1e-6)
+
+    # per-frame stats: one row per frame, lumas exact
+    frames = multimodal.video_frame_stats(media2).toPandas()
+    assert list(frames["frame_idx"]) == [0, 1]
+    assert [float(x) for x in frames["luma_mean"]] == pytest.approx(
+        [0.0, 255.0], abs=1e-6
+    )
+    assert list(frames["ts_ms"]) == [0, 100]
+
+    # malformed bytes surface as an error (no silent fake)
+    bad = spark.createDataFrame(
+        [(2, "video", "video/x-msvideo", bytearray(b"not an avi"), 1, 1, 1)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception):
+        multimodal.decode_video_stats(bad).count()
+
+    # synth_media videos round-trip through the real decoder
+    media3 = multimodal.synth_media(spark, n=9)
+    vids = multimodal.decode_video_stats(media3).toPandas()
+    assert len(vids) == 3
+    assert (vids["n_frames"] >= 2).all()
