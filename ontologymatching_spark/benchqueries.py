@@ -1243,6 +1243,122 @@ SELECT probe_id, cand_id, cosine, rnk FROM (
 
 SQL_ANN_LSH_TOPK = _sql_ann_lsh_topk()
 
+# IVF (inverted-file) ANN constants, shared with the generated SQL oracle:
+# 8 centroid cells trained with 3 deterministic Lloyd rounds on the 128
+# md5-smallest vectors, probes scan their 2 nearest cells. Values floored
+# onto the 2^-20 binary grid (exact cross-engine sums — MSSG recipe).
+IVF_CENTROIDS = 8
+IVF_NPROBE = 2
+IVF_ITER = 3
+IVF_SAMPLE = 128
+IVF_GRID = float(1 << 20)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """Scalable ANN top-k via an IVF index (operators/ann.ivf_topk — the
+    FAISS-style coarse quantizer, complementing the LSH scale path): k-means
+    cells from a deterministic md5-seeded sample, candidates from the
+    nprobe-cell equi-join only (never a cross join), exact cosine re-rank,
+    deterministic top-5. The binary-grid k-means makes the DuckDB twin
+    mechanical (unrolled Lloyd rounds); recall vs brute force is gated in
+    tests (test_dedup_ann_text)."""
+    from .operators.ann import ivf_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e, k=ANN_TOPK_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
+        n_iter=IVF_ITER, sample=IVF_SAMPLE,
+    )
+
+
+def _sql_ann_ivf_topk() -> str:
+    """DuckDB twin of q_ann_ivf_topk: the bounded Lloyd loop unrolled as
+    per-round assign/update CTE pairs on the 2^-20 grid (every dot term on
+    the exact 2^-40 grid → assignments/centroids bit-identical across
+    engines and summation orders), then the same nprobe cell join + cosine
+    re-rank as the Spark plan."""
+    D, Q = EMB_DIM, IVF_GRID
+    qcols = ", ".join(
+        f"floor(CAST(embedding[{i + 1}] AS DOUBLE) * {Q}) / {Q} AS q{i}"
+        for i in range(D)
+    )
+    qlist = ", ".join(f"q{i}" for i in range(D))
+    dot = " + ".join(f"t.q{i} * c.d{i}" for i in range(D))
+    means = ", ".join(f"SUM(q{i}) / COUNT(*) AS m{i}" for i in range(D))
+    upd = ", ".join(
+        f"COALESCE(floor(m.m{i} * {Q}) / {Q}, c.d{i}) AS d{i}"
+        for i in range(D)
+    )
+    parts = [f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, {qcols} FROM embeddings
+),
+tr AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT vv.*, row_number() OVER (ORDER BY h, vec_id) AS rn FROM (
+      SELECT *, ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h
+      FROM v) vv
+  ) WHERE rn <= {IVF_SAMPLE}
+),
+c0 AS MATERIALIZED (
+  SELECT CAST(rn - 1 AS BIGINT) AS cid,
+         {", ".join(f"q{i} AS d{i}" for i in range(D))}
+  FROM tr WHERE rn <= {IVF_CENTROIDS}
+)"""]
+    for r in range(1, IVF_ITER + 1):
+        parts.append(f""",
+a{r} AS MATERIALIZED (
+  SELECT cid, {qlist} FROM (
+    SELECT d.*, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dot DESC, cid ASC) AS rk
+    FROM (SELECT t.vec_id, {", ".join(f"t.q{i}" for i in range(D))},
+                 c.cid, ({dot}) AS dot
+          FROM tr t CROSS JOIN c{r - 1} c) d
+  ) WHERE rk = 1
+),
+c{r} AS MATERIALIZED (
+  SELECT c.cid, {upd}
+  FROM c{r - 1} c LEFT JOIN (
+    SELECT cid, {means} FROM a{r} GROUP BY cid
+  ) m USING (cid)
+)""")
+    parts.append(f""",
+rkd AS MATERIALIZED (
+  SELECT vec_id, cid, rk FROM (
+    SELECT t.vec_id, c.cid,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY ({dot}) DESC, c.cid ASC) AS rk
+    FROM v t CROSS JOIN c{IVF_ITER} c
+  ) WHERE rk <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.vec_id AS probe_id, s.vec_id AS cand_id
+  FROM rkd p JOIN (SELECT vec_id, cid FROM rkd WHERE rk = 1) s USING (cid)
+  WHERE p.vec_id <> s.vec_id
+),
+scored AS (
+  SELECT p.probe_id, p.cand_id,
+         ROUND(
+           list_sum(list_transform(range(1, len(ea.embedding) + 1),
+                    i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(ea.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(eb.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+           9) AS cosine
+  FROM cand p
+  JOIN embeddings ea ON ea.vec_id = p.probe_id
+  JOIN embeddings eb ON eb.vec_id = p.cand_id
+)
+SELECT probe_id, cand_id, cosine, rnk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY cosine DESC, cand_id ASC) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= {ANN_TOPK_K}
+""")
+    return "".join(parts)
+
+
+SQL_ANN_IVF_TOPK = _sql_ann_ivf_topk()
+
 
 def q_ngram_jaccard_dedup(spark, sf_dir):
     """Char-5-gram Jaccard near-dup pairs over documents, blocked by the
@@ -2832,7 +2948,11 @@ def q_ufl_quality(spark, sf_dir):
         .withColumn("neg", total - F.col("pos"))
         .select("src_doc_id", "dst_doc_id", "sim_lev", "sim_qgram", "sim_dice",
                 "sim", "pos", "neg")
-        .cache()
+        # eager localCheckpoint, not cache(): ~10 downstream branches (row/
+        # col aggs, two windows, scalar norms, intra-coupling) fan out from
+        # this matrix — a lazy cache can race/recompute the expensive
+        # blocked-join sims per branch (the flooding sigma0 lesson)
+        .localCheckpoint()
     )
     n_src = names.filter(F.col("doc_id") % 2 == 0).count()
     n_dst = names.filter(F.col("doc_id") % 2 == 1).count()
@@ -3021,6 +3141,7 @@ QUERIES = {
     "simhash_dedup": q_simhash_dedup,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "lwc_sigmoid": q_lwc_sigmoid,
     "matrix_gram": q_matrix_gram,
     "events_pivot": q_events_pivot,
@@ -3075,6 +3196,7 @@ ORACLE_SQL = {
     "simhash_dedup": SQL_SIMHASH,
     "ann_lsh_buckets": SQL_ANN_LSH,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "lwc_sigmoid": SQL_LWC_SIGMOID,
     "matrix_gram": SQL_MATRIX_GRAM,
     "events_pivot": SQL_EVENTS_PIVOT,

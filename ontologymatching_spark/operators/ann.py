@@ -1,10 +1,19 @@
 """Approximate nearest neighbor over an embedding column (array<float>).
 
 Baseline: brute-force cosine top-k (JVM-side zip_with/aggregate dot products,
-broadcast probe side — no Python in the hot path). Scale path: random-
-hyperplane LSH — bucket vectors by sign bits, join within buckets only; at
-100 TB the bucket equi-join replaces the quadratic cross join, trading
-recall (measured, see tests) for a shuffle-sized-by-bucket plan.
+broadcast probe side — no Python in the hot path). Scale paths:
+
+- random-hyperplane LSH — bucket vectors by sign bits, join within buckets
+  only; at 100 TB the bucket equi-join replaces the quadratic cross join,
+  trading recall (measured, see tests) for a shuffle-sized-by-bucket plan.
+- IVF (inverted-file index, the FAISS-style coarse quantizer) — k-means
+  centroids partition the space; each vector lands in its nearest-centroid
+  cell, probes scan only their ``nprobe`` nearest cells. The centroid table
+  is tiny and broadcast; the candidate join is an equi-join on cell id, so
+  pair count is driven by cell size × nprobe, never corpus². Training is
+  deterministic (md5-ordered seed sample, bounded Lloyd rounds, all values
+  floored onto a 2^-b binary grid so sums are exact and engine/partition-
+  order independent — the MSSG k-means recipe).
 """
 
 from __future__ import annotations
@@ -103,16 +112,173 @@ def lsh_topk(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"),
         "tbl", "bucket",
     )
+    # score BEFORE deduplicating: cosine is deterministic, so duplicate
+    # (probe,cand) rows from different tables dedup identically on the
+    # 3-column narrow row — shipping the two 64-float arrays through the
+    # dropDuplicates shuffle instead cost ~4x (the disagreement-variance
+    # recompute-vs-materialize lesson applied to a shuffle boundary)
     pairs = (
         a.join(c, ["tbl", "bucket"])
         .filter(F.col("probe_id") != F.col("cand_id"))
-        .select("probe_id", "cand_id", "pe", "ce")
-        .dropDuplicates(["probe_id", "cand_id"])
         .withColumn("cosine", F.round(cosine_array_col(F.col("pe"), F.col("ce")), 9))
+        .select("probe_id", "cand_id", "cosine")
+        .dropDuplicates(["probe_id", "cand_id"])
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "cand_id", "cosine", "rnk")
+    )
+
+
+def _quantize_col(emb, grid: float):
+    """array<float> → array<double> floored onto the 2^-b binary grid
+    (exact cross-engine products/sums; float→double widening is exact)."""
+    return F.transform(emb, lambda x: F.floor(x.cast("double") * grid) / grid)
+
+
+def _dot_col(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_train_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    n_iter: int = 3,
+    sample: int = 128,
+    grid_bits: int = 20,
+) -> DataFrame:
+    """Deterministic k-means coarse quantizer → (cid, ce: array<double>).
+
+    Seeds = the ``n_centroids`` sample vectors with smallest md5(vec_id)
+    (engine-portable pseudo-random draw); ``n_iter`` bounded Lloyd rounds on
+    the md5-smallest ``sample`` vectors; assignment = max quantized dot
+    (ties → smaller cid); update = per-dim exact mean re-floored onto the
+    grid; a cell that loses all members keeps its previous centroid. Every
+    arithmetic step stays on the binary grid, so centroids are bit-identical
+    across engines, partitionings and summation orders."""
+    grid = float(1 << grid_bits)
+    h = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    train = (
+        vectors.select("vec_id", _quantize_col(F.col("embedding"), grid).alias("qe"))
+        .withColumn("_h", h)
+        .orderBy("_h", "vec_id")
+        .limit(sample)
+        .withColumn(
+            "_rn", F.row_number().over(Window.orderBy("_h", "vec_id"))
+        )
+        .localCheckpoint()
+    )
+    centroids = train.filter(F.col("_rn") <= n_centroids).select(
+        (F.col("_rn") - 1).cast("long").alias("cid"), F.col("qe").alias("ce")
+    ).localCheckpoint()
+    for _ in range(n_iter):
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("_dot"), F.asc("cid")
+        )
+        assigned = (
+            train.crossJoin(F.broadcast(centroids))
+            .withColumn("_dot", _dot_col(F.col("qe"), F.col("ce")))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("cid", "qe")
+        )
+        means = (
+            assigned.select("cid", F.posexplode("qe").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg((F.floor(F.avg("x") * grid) / grid).alias("m"))
+        )
+        updated = means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("ce")
+        )
+        centroids = updated.unionByName(
+            centroids.join(updated.select("cid"), "cid", "left_anti")
+        ).localCheckpoint()
+    return centroids
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    n_iter: int = 3,
+    sample: int = 128,
+    grid_bits: int = 20,
+) -> DataFrame:
+    """All-pairs ANN via an IVF index: every vector is indexed under its
+    nearest centroid cell (rank-1 quantized dot); every probe scans its
+    ``nprobe`` nearest cells; candidates come from the cell equi-join (pair
+    count = Σ probe-cell sizes, never corpus²); exact cosine re-ranks
+    within candidates. Output schema matches lsh_topk:
+    (probe_id, cand_id, cosine, rnk)."""
+    grid = float(1 << grid_bits)
+    n_salt = 8
+    centroids = ivf_train_centroids(
+        vectors, n_centroids=n_centroids, n_iter=n_iter, sample=sample,
+        grid_bits=grid_bits,
+    )
+    # narrow (vec_id, cid, rk) assignment, checkpointed once — the probe
+    # and cell branches both read it (the plan otherwise rebuilds the
+    # crossJoin + window per branch), and no array rides its windows
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_dot"), F.asc("cid"))
+    ranked = (
+        vectors.select(
+            "vec_id", _quantize_col(F.col("embedding"), grid).alias("qe")
+        )
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("_dot", _dot_col(F.col("qe"), F.col("ce")))
+        .select("vec_id", "cid", "_dot")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= nprobe)
+        .select("vec_id", "cid", "_rk")
+        .localCheckpoint()
+    )
+    emb = vectors.select("vec_id", "embedding")
+    # salt the cell join: with few cells (small benches / early index
+    # builds) the cid key alone caps join parallelism at n_centroids tasks;
+    # replicating each probe across n_salt sub-cells while each candidate
+    # keeps exactly one (cand_id-derived) salt preserves the pair set and
+    # spreads a hot cell across tasks (same trick as blocking.salted_*;
+    # at production scale n_centroids ~ sqrt(N) already gives cardinality,
+    # salting then simply subdivides the largest cells)
+    cells = (
+        ranked.filter(F.col("_rk") == 1)
+        .join(emb, "vec_id")
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("ce2"), "cid",
+            (F.col("vec_id") % n_salt).cast("int").alias("_salt"),
+        )
+    )
+    probes = (
+        ranked.join(emb, "vec_id")
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("pe"), "cid",
+            F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("_salt"),
+        )
+    )
+    pairs = (
+        probes.join(cells, ["cid", "_salt"])
+        .filter(F.col("probe_id") != F.col("cand_id"))
+        .withColumn(
+            "cosine", F.round(cosine_array_col(F.col("pe"), F.col("ce2")), 9)
+        )
+        .select("probe_id", "cand_id", "cosine")
+    )
+    wk = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(wk))
         .filter(F.col("rnk") <= k)
         .select("probe_id", "cand_id", "cosine", "rnk")
     )

@@ -412,3 +412,46 @@ def test_avi_decode_real_bytes(spark):
     vids = multimodal.decode_video_stats(media3).toPandas()
     assert len(vids) == 3
     assert (vids["n_frames"] >= 2).all()
+
+
+def test_ann_ivf_topk_planted_recall(spark):
+    """IVF planted-twin gate: clustered base vectors (so the coarse
+    quantizer has real cells) + 0.05-noise twins (cosine ≈ 0.999). ivf_topk
+    with 4 cells / nprobe 2 must put the twin at rank 1 for ≥85% of
+    vectors, and the index must prune: candidate pairs ≪ n²."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # 4 well-separated cluster centers, 20 base vectors each
+    centers = rng.normal(size=(4, 64)) * 4.0
+    base = np.vstack([
+        centers[c] + rng.normal(size=(20, 64)) for c in range(4)
+    ])
+    noise = base + 0.05 * rng.normal(size=(80, 64))
+    vecs_np = np.vstack([base, noise]).astype("float32")
+    rows = [(i, [float(x) for x in vecs_np[i]]) for i in range(160)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    approx = ann.ivf_topk(vecs, k=1, n_centroids=4, nprobe=2, n_iter=3,
+                          sample=64)
+    got = {
+        r.probe_id: r.cand_id
+        for r in approx.filter(F.col("rnk") == 1).collect()
+    }
+    hits = sum(1 for p, c in got.items() if abs(p - c) == 80)
+    assert hits / 160 >= 0.85, f"IVF planted recall@1 {hits}/160"
+
+
+def test_ivf_centroids_deterministic_across_parallelism(spark):
+    """The binary-grid k-means must give bit-identical centroids regardless
+    of partitioning (the cross-engine-oracle property, checked across
+    repartitions)."""
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    a = ann.ivf_train_centroids(vecs.repartition(2), n_centroids=4,
+                                n_iter=2, sample=32)
+    b = ann.ivf_train_centroids(vecs.repartition(17), n_centroids=4,
+                                n_iter=2, sample=32)
+    pa = {r.cid: list(r.ce) for r in a.collect()}
+    pb = {r.cid: list(r.ce) for r in b.collect()}
+    assert pa == pb  # exact float equality — grid arithmetic
