@@ -2869,6 +2869,240 @@ LEFT JOIN (SELECT word, sense, COUNT(*) AS cnt
 SQL_MSSG_SENSES = _sql_mssg_senses()
 
 
+_STRUCT_GRID = float(1 << 20)
+_PARENT_PAIR_SIM = 0.875  # 7/8: exactly representable, on the binary grid
+
+
+def q_structural_boost(spark, sf_dir):
+    """DSI + SSC structural refinement (dsi/DescendantsSimilarityInheritance
+    Matcher.java:63-185, ssc/SiblingsSimilarityContributionMatcher.java:
+    77-117 — operators/structural.dsi, .ssc) over the blocked lev matrix
+    with a deterministic century hierarchy: each doc's parent is its century
+    bucket (offset id spaces per side), same-century parent pairs carry sim
+    7/8, so DSI inherits the parent cell and SSC blends same-family sibling
+    averages. Sims floored onto the 2^-20 grid → the family sums are exact
+    cross-engine (the MSSG lesson). Output: pair + sim, sim_dsi, sim_ssc."""
+    from .functions.spark_sims import lev_min_norm_col
+    from .operators.structural import dsi, ssc
+
+    names = _doc_names(spark, sf_dir)
+    s = names.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("src_id"),
+        F.col("name").alias("s_name"), "block_key",
+    )
+    d = names.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("dst_id"),
+        F.col("name").alias("d_name"), "block_key",
+    )
+    g = _STRUCT_GRID
+    docp = (
+        s.join(d, "block_key")
+        .withColumn(
+            "sim",
+            F.floor(lev_min_norm_col(F.col("s_name"), F.col("d_name")) * g) / g,
+        )
+        .filter(F.col("sim") >= 0.5)
+        .select("src_id", "dst_id", "sim")
+    )
+    cents = (
+        load(spark, sf_dir, "documents")
+        .select(F.floor(F.col("doc_id") / 100).cast("long").alias("c"))
+        .distinct()
+    )
+    parentp = cents.select(
+        (F.lit(1_000_000) + F.col("c")).alias("src_id"),
+        (F.lit(2_000_000) + F.col("c")).alias("dst_id"),
+        F.lit(_PARENT_PAIR_SIM).alias("sim"),
+    )
+    p = docp.unionByName(parentp).localCheckpoint()
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    sp = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("child_id"),
+        (F.lit(1_000_000) + F.floor(F.col("doc_id") / 100)).cast("long")
+        .alias("parent_id"),
+    )
+    dp = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("child_id"),
+        (F.lit(2_000_000) + F.floor(F.col("doc_id") / 100)).cast("long")
+        .alias("parent_id"),
+    )
+    out_dsi = dsi(p, sp, dp, mcp=0.75).select("src_id", "dst_id", "sim_dsi")
+    out_ssc = ssc(p, sp, dp, weight=0.25).select("src_id", "dst_id", "sim_ssc")
+    return (
+        p.join(out_dsi, ["src_id", "dst_id"])
+        .join(out_ssc, ["src_id", "dst_id"])
+        .filter(F.col("src_id") < 1_000_000)
+        .select(
+            "src_id", "dst_id",
+            F.round("sim", 6).alias("sim"),
+            F.round("sim_dsi", 6).alias("sim_dsi"),
+            F.round("sim_ssc", 6).alias("sim_ssc"),
+        )
+    )
+
+
+SQL_STRUCTURAL_BOOST = f"""
+WITH names AS ({_SQL_DOC_NAMES}),
+s AS (SELECT doc_id AS src_id, name AS s_name, block_key FROM names WHERE doc_id % 2 = 0),
+d AS (SELECT doc_id AS dst_id, name AS d_name, block_key FROM names WHERE doc_id % 2 = 1),
+docp AS (
+  SELECT src_id, dst_id,
+         floor((CASE WHEN length(s_name) = 0 AND length(d_name) = 0 THEN 1.0
+              WHEN least(length(s_name), length(d_name)) = 0 THEN 0.0
+              ELSE 1.0 - least(levenshtein(s_name, d_name),
+                               least(length(s_name), length(d_name)))::DOUBLE
+                         / least(length(s_name), length(d_name))
+         END) * {_STRUCT_GRID}) / {_STRUCT_GRID} AS sim
+  FROM s JOIN d USING (block_key)
+),
+p AS MATERIALIZED (
+  SELECT * FROM docp WHERE sim >= 0.5
+  UNION ALL
+  SELECT 1000000 + c AS src_id, 2000000 + c AS dst_id, {_PARENT_PAIR_SIM} AS sim
+  FROM (SELECT DISTINCT doc_id // 100 AS c FROM documents)
+),
+sp AS (SELECT doc_id AS src_id, 1000000 + doc_id // 100 AS s_parent
+       FROM documents WHERE doc_id % 2 = 0),
+dp AS (SELECT doc_id AS dst_id, 2000000 + doc_id // 100 AS d_parent
+       FROM documents WHERE doc_id % 2 = 1),
+per AS (
+  SELECT p.src_id, p.dst_id, sp.s_parent, MAX(ps.sim) AS best
+  FROM p JOIN sp USING (src_id) JOIN dp USING (dst_id)
+  LEFT JOIN p ps ON ps.src_id = sp.s_parent AND ps.dst_id = dp.d_parent
+  GROUP BY 1, 2, 3
+),
+contrib AS (SELECT src_id, dst_id, AVG(best) AS pc FROM per GROUP BY 1, 2),
+dsi AS (
+  SELECT p.src_id, p.dst_id,
+         ROUND(0.75 * p.sim + 0.25 * COALESCE(c.pc, p.sim), 12) AS sim_dsi
+  FROM p LEFT JOIN contrib c USING (src_id, dst_id)
+),
+fam AS (
+  SELECT p.src_id, p.dst_id, p.sim, sp.s_parent, dp.d_parent
+  FROM p JOIN sp USING (src_id) JOIN dp USING (dst_id)
+),
+fs AS (SELECT s_parent, d_parent, SUM(sim) AS fam_sum, COUNT(*) AS fam_n
+       FROM fam GROUP BY 1, 2),
+sscp AS (
+  SELECT src_id, dst_id,
+         MAX(ROUND(0.75 * sim + 0.25 *
+             (CASE WHEN fam_n > 1 THEN (fam_sum - sim) / (fam_n - 1)
+                   ELSE sim END), 12)) AS sim_ssc
+  FROM fam JOIN fs USING (s_parent, d_parent)
+  GROUP BY 1, 2
+)
+SELECT p.src_id, p.dst_id, ROUND(p.sim, 6) AS sim,
+       ROUND(dsi.sim_dsi, 6) AS sim_dsi,
+       ROUND(COALESCE(sscp.sim_ssc, p.sim), 6) AS sim_ssc
+FROM p
+JOIN dsi USING (src_id, dst_id)
+LEFT JOIN sscp USING (src_id, dst_id)
+WHERE p.src_id < 1000000
+"""
+
+
+def q_lexicon_match(spark, sf_dir):
+    """LSM synonym matching through a built lexicon (lexicon/ontology/
+    OntologyLexiconBuilder.java:56-105 build = per-entity synonym explode;
+    LexicalSynonymMatcher.java:221-266 match = term equi-join scaled by the
+    synonym weight — operators/lexicon.build_lexicon, .lsm). Entities are
+    doc names; synonym tiers = raw lowercase + punctuation-normalized form
+    (the stem tier is identity here so the DuckDB twin stays mechanical —
+    Porter runs in the pipeline path, parity-tested separately)."""
+    from .operators.lexicon import build_lexicon, lsm
+
+    names = _doc_names(spark, sf_dir)
+    ents = names.select(
+        F.col("doc_id").alias("entity_id"),
+        F.col("name").alias("local_name"),
+        F.regexp_replace(F.lower(F.col("name")), "[^a-z0-9 ]", "")
+        .alias("norm_name"),
+        F.regexp_replace(F.lower(F.col("name")), "[^a-z0-9 ]", "")
+        .alias("stem_name"),
+    )
+    lex = build_lexicon(ents)
+    src_lex = lex.filter(F.col("entity_id") % 2 == 0)
+    dst_lex = lex.filter(F.col("entity_id") % 2 == 1)
+    out = lsm(src_lex, dst_lex, synonym_weight=0.95)
+    return out.select(
+        "src_id", "dst_id", F.round("sim_lsm", 6).alias("sim_lsm")
+    )
+
+
+SQL_LEXICON_MATCH = f"""
+WITH names AS ({_SQL_DOC_NAMES}),
+lex AS (
+  SELECT DISTINCT doc_id AS entity_id, term FROM (
+    SELECT doc_id, lower(name) AS term FROM names
+    UNION ALL
+    SELECT doc_id, regexp_replace(lower(name), '[^a-z0-9 ]', '', 'g') AS term
+    FROM names
+  ) WHERE length(term) > 0
+)
+SELECT DISTINCT a.entity_id AS src_id, b.entity_id AS dst_id,
+       ROUND(0.95, 6) AS sim_lsm
+FROM lex a JOIN lex b USING (term)
+WHERE a.entity_id % 2 = 0 AND b.entity_id % 2 = 1
+"""
+
+
+def q_best_match_boost(spark, sf_dir):
+    """BestMatchBoosting (boosting/BestMatchBoosting.java:17-79 —
+    operators/selection.best_match_boosting): each source row's single best
+    pair (deterministic tie-break on the padded dst uri) boosted ×1.2,
+    clamped to 1. Applied to the blocked lev matrix."""
+    from .functions.spark_sims import lev_min_norm_col
+    from .operators.selection import best_match_boosting
+
+    names = _doc_names(spark, sf_dir)
+    s = names.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("src_id"),
+        F.col("name").alias("s_name"), "block_key",
+    )
+    d = names.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("dst_id"),
+        F.col("name").alias("d_name"), "block_key",
+    )
+    pairs = (
+        s.join(d, "block_key")
+        .withColumn(
+            "sim",
+            F.round(lev_min_norm_col(F.col("s_name"), F.col("d_name")), 6),
+        )
+        .filter(F.col("sim") >= 0.5)
+        .withColumn("dst_uri", F.format_string("%09d", F.col("dst_id")))
+        .select("src_id", "dst_id", "dst_uri", "sim")
+    )
+    return best_match_boosting(pairs, boost=1.2).select(
+        "src_id", "dst_id", F.round("sim", 6).alias("sim")
+    )
+
+
+SQL_BEST_MATCH_BOOST = f"""
+WITH names AS ({_SQL_DOC_NAMES}),
+s AS (SELECT doc_id AS src_id, name AS s_name, block_key FROM names WHERE doc_id % 2 = 0),
+d AS (SELECT doc_id AS dst_id, name AS d_name, block_key FROM names WHERE doc_id % 2 = 1),
+p AS (
+  SELECT src_id, dst_id, lpad(dst_id::VARCHAR, 9, '0') AS dst_uri,
+         ROUND(CASE WHEN length(s_name) = 0 AND length(d_name) = 0 THEN 1.0
+              WHEN least(length(s_name), length(d_name)) = 0 THEN 0.0
+              ELSE 1.0 - least(levenshtein(s_name, d_name),
+                               least(length(s_name), length(d_name)))::DOUBLE
+                         / least(length(s_name), length(d_name))
+         END, 6) AS sim
+  FROM s JOIN d USING (block_key)
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY src_id
+                               ORDER BY sim DESC, dst_uri ASC) AS rn
+  FROM p WHERE sim >= 0.5
+)
+SELECT src_id, dst_id,
+       ROUND(CASE WHEN rn = 1 THEN LEAST(sim * 1.2, 1.0) ELSE sim END, 6) AS sim
+FROM r
+"""
+
+
 def q_ufl_quality(spark, sf_dir):
     """User-feedback-loop candidate-quality metrics (qualityEvaluation/
     metrics/ufl/CrossCountQuality.java, CrossSumQuality.java,
@@ -3167,6 +3401,9 @@ QUERIES = {
     "minhash_cc_clusters": q_minhash_cc_clusters,
     "mssg_context_vectors": q_mssg_context_vectors,
     "ufl_quality": q_ufl_quality,
+    "structural_boost": q_structural_boost,
+    "lexicon_match": q_lexicon_match,
+    "best_match_boost": q_best_match_boost,
     **ROWS_ONLY_QUERIES,
 }
 
@@ -3223,4 +3460,7 @@ ORACLE_SQL = {
     "mssg_context_vectors": SQL_MSSG_CTX,
     "mssg_senses": SQL_MSSG_SENSES,
     "ufl_quality": SQL_UFL_QUALITY,
+    "structural_boost": SQL_STRUCTURAL_BOOST,
+    "lexicon_match": SQL_LEXICON_MATCH,
+    "best_match_boost": SQL_BEST_MATCH_BOOST,
 }
