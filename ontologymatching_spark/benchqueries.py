@@ -2869,6 +2869,115 @@ LEFT JOIN (SELECT word, sense, COUNT(*) AS cnt
 SQL_MSSG_SENSES = _sql_mssg_senses()
 
 
+def q_instance_linking(spark, sf_dir):
+    """Instance/entity linking (LabelInstanceMatcher.java:28-150,
+    InstanceMatching.java:22-110 — operators/linking.link_mentions): even
+    docs are mentions, odd docs are canonical entities, repos are md5-free
+    deterministic doc_id buckets. Two-stage completion shape: same-repo
+    exact-normalized-label join resolves first, only the unresolved
+    mentions go to the global label block (anti-join); top-1 per mention
+    with ScoredInstanceComparator tie-breaks (score DESC, uri ASC)."""
+    from .functions.spark_sims import norm_name_col
+    from .operators.linking import link_mentions
+
+    names = _doc_names(spark, sf_dir)
+    mentions = names.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("mention_id"),
+        F.col("name").alias("label"),
+        F.concat(F.lit("r"), (F.col("doc_id") % 7).cast("string")).alias("repo"),
+    )
+    e_norm = norm_name_col(F.col("name"))
+    entities = names.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("entity_id"),
+        F.format_string("%09d", F.col("doc_id")).alias("uri"),
+        e_norm.alias("norm_name"),
+        F.split(e_norm, " ").alias("tokens"),
+        F.concat(F.lit("r"), (F.col("doc_id") % 7).cast("string")).alias("repo"),
+    )
+    out = link_mentions(mentions, entities, threshold=0.5)
+    return out.select(
+        "mention_id", "entity_id", F.round("link_score", 6).alias("link_score")
+    )
+
+
+_SQL_NORM = (
+    "trim(regexp_replace(lower(regexp_replace(regexp_replace({c}, "
+    "'([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'), "
+    "'([a-z0-9])([A-Z])', '\\1 \\2', 'g')), '[^a-z0-9]+', ' ', 'g'))"
+)
+
+SQL_INSTANCE_LINKING = f"""
+WITH names AS ({_SQL_DOC_NAMES}),
+m AS (
+  SELECT doc_id AS mention_id, {_SQL_NORM.format(c="name")} AS m_norm,
+         'r' || (doc_id % 7)::VARCHAR AS m_repo
+  FROM names WHERE doc_id % 2 = 0
+),
+e AS (
+  SELECT doc_id AS entity_id, lpad(doc_id::VARCHAR, 9, '0') AS e_uri,
+         {_SQL_NORM.format(c="name")} AS e_norm,
+         'r' || (doc_id % 7)::VARCHAR AS e_repo
+  FROM names WHERE doc_id % 2 = 1
+),
+score_local AS (
+  SELECT m.mention_id, e.entity_id, e.e_uri,
+         ROUND(0.6 * (CASE WHEN length(m_norm) = 0 AND length(e_norm) = 0 THEN 1.0
+              WHEN least(length(m_norm), length(e_norm)) = 0 THEN 0.0
+              ELSE 1.0 - least(levenshtein(m_norm, e_norm),
+                               least(length(m_norm), length(e_norm)))::DOUBLE
+                         / least(length(m_norm), length(e_norm)) END)
+             + 0.3 * (CASE WHEN len(list_distinct(list_concat(
+                        list_distinct(string_split(m_norm, ' ')),
+                        list_distinct(string_split(e_norm, ' '))))) = 0 THEN 1.0
+                 ELSE len(list_intersect(list_distinct(string_split(m_norm, ' ')),
+                                         list_distinct(string_split(e_norm, ' '))))::DOUBLE
+                      / len(list_distinct(list_concat(
+                            list_distinct(string_split(m_norm, ' ')),
+                            list_distinct(string_split(e_norm, ' '))))) END)
+             + (CASE WHEN m_repo = e_repo THEN 0.1 ELSE 0.0 END), 12) AS link_score
+  FROM m JOIN e ON m.m_repo = e.e_repo AND m.m_norm = e.e_norm
+),
+local AS (
+  SELECT mention_id, entity_id, link_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY mention_id
+                                 ORDER BY link_score DESC, e_uri ASC) AS rn
+    FROM score_local WHERE link_score >= 0.5
+  ) WHERE rn = 1
+),
+unresolved AS (
+  SELECT * FROM m WHERE mention_id NOT IN (SELECT mention_id FROM local)
+),
+score_glob AS (
+  SELECT m.mention_id, e.entity_id, e.e_uri,
+         ROUND(0.6 * (CASE WHEN length(m_norm) = 0 AND length(e_norm) = 0 THEN 1.0
+              WHEN least(length(m_norm), length(e_norm)) = 0 THEN 0.0
+              ELSE 1.0 - least(levenshtein(m_norm, e_norm),
+                               least(length(m_norm), length(e_norm)))::DOUBLE
+                         / least(length(m_norm), length(e_norm)) END)
+             + 0.3 * (CASE WHEN len(list_distinct(list_concat(
+                        list_distinct(string_split(m_norm, ' ')),
+                        list_distinct(string_split(e_norm, ' '))))) = 0 THEN 1.0
+                 ELSE len(list_intersect(list_distinct(string_split(m_norm, ' ')),
+                                         list_distinct(string_split(e_norm, ' '))))::DOUBLE
+                      / len(list_distinct(list_concat(
+                            list_distinct(string_split(m_norm, ' ')),
+                            list_distinct(string_split(e_norm, ' '))))) END)
+             + (CASE WHEN m_repo = e_repo THEN 0.1 ELSE 0.0 END), 12) AS link_score
+  FROM unresolved m JOIN e ON m.m_norm = e.e_norm
+),
+glinks AS (
+  SELECT mention_id, entity_id, link_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY mention_id
+                                 ORDER BY link_score DESC, e_uri ASC) AS rn
+    FROM score_glob WHERE link_score >= 0.5
+  ) WHERE rn = 1
+)
+SELECT mention_id, entity_id, ROUND(link_score, 6) AS link_score FROM local
+UNION ALL
+SELECT mention_id, entity_id, ROUND(link_score, 6) AS link_score FROM glinks
+"""
+
+
 _STRUCT_GRID = float(1 << 20)
 _PARENT_PAIR_SIM = 0.875  # 7/8: exactly representable, on the binary grid
 
@@ -3404,6 +3513,7 @@ QUERIES = {
     "structural_boost": q_structural_boost,
     "lexicon_match": q_lexicon_match,
     "best_match_boost": q_best_match_boost,
+    "instance_linking": q_instance_linking,
     **ROWS_ONLY_QUERIES,
 }
 
@@ -3463,4 +3573,5 @@ ORACLE_SQL = {
     "structural_boost": SQL_STRUCTURAL_BOOST,
     "lexicon_match": SQL_LEXICON_MATCH,
     "best_match_boost": SQL_BEST_MATCH_BOOST,
+    "instance_linking": SQL_INSTANCE_LINKING,
 }
