@@ -2869,6 +2869,71 @@ LEFT JOIN (SELECT word, sense, COUNT(*) AS cnt
 SQL_MSSG_SENSES = _sql_mssg_senses()
 
 
+def q_bsm_cascade(spark, sf_dir):
+    """BSM tiered exact-match cascade (Matcher-BaseSimilarity/.../
+    BaseSimilarityMatcher.java:286-360 — operators/matchers.bsm): exact
+    name 1.0 → tier-2 normalized 0.95 → stem tier 0.9 → digit-strip 0.8,
+    one when-cascade in codegen over the blocked candidates. The stem tier
+    is identity on this corpus (Porter runs in the pipeline path,
+    parity-tested separately) so the tier fires together with tier 2 and
+    the DuckDB twin stays mechanical; the digit-strip tier is exercised
+    for real (doc names carry digits)."""
+    from .operators.matchers import bsm
+
+    names = _doc_names(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("name")), "[^a-z0-9]+", " "))
+    nodigit = F.trim(F.regexp_replace(norm, "[0-9]", ""))
+    ents = names.select(
+        "doc_id", "block_key",
+        F.col("name").alias("local_name"),
+        norm.alias("norm_name"),
+        norm.alias("stem_name"),
+        nodigit.alias("nodigit_name"),
+    )
+    s = ents.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("src_id"), "block_key",
+        *[F.col(c).alias(f"s_{c}") for c in
+          ("local_name", "norm_name", "stem_name", "nodigit_name")],
+    )
+    d = ents.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("dst_id"), "block_key",
+        *[F.col(c).alias(f"d_{c}") for c in
+          ("local_name", "norm_name", "stem_name", "nodigit_name")],
+    )
+    out = bsm(s.join(d, "block_key"))
+    return (
+        out.filter(F.col("sim_bsm") > 0)
+        .select("src_id", "dst_id", F.round("sim_bsm", 6).alias("sim_bsm"))
+    )
+
+
+SQL_BSM_CASCADE = f"""
+WITH names AS ({_SQL_DOC_NAMES}),
+e AS (
+  SELECT doc_id, block_key, name AS local_name,
+         trim(regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g')) AS norm_name
+  FROM names
+),
+e2 AS (
+  SELECT *, norm_name AS stem_name,
+         trim(regexp_replace(norm_name, '[0-9]', '', 'g')) AS nodigit_name
+  FROM e
+),
+p AS (
+  SELECT s.doc_id AS src_id, d.doc_id AS dst_id,
+         CASE WHEN s.local_name = d.local_name THEN 1.0
+              WHEN s.norm_name = d.norm_name THEN 0.95
+              WHEN s.stem_name = d.stem_name THEN 0.9
+              WHEN s.nodigit_name = d.nodigit_name
+                   AND length(s.nodigit_name) > 0 THEN 0.8
+              ELSE 0.0 END AS sim_bsm
+  FROM e2 s JOIN e2 d USING (block_key)
+  WHERE s.doc_id % 2 = 0 AND d.doc_id % 2 = 1
+)
+SELECT src_id, dst_id, ROUND(sim_bsm, 6) AS sim_bsm FROM p WHERE sim_bsm > 0
+"""
+
+
 def q_instance_linking(spark, sf_dir):
     """Instance/entity linking (LabelInstanceMatcher.java:28-150,
     InstanceMatching.java:22-110 — operators/linking.link_mentions): even
@@ -3514,6 +3579,7 @@ QUERIES = {
     "lexicon_match": q_lexicon_match,
     "best_match_boost": q_best_match_boost,
     "instance_linking": q_instance_linking,
+    "bsm_cascade": q_bsm_cascade,
     **ROWS_ONLY_QUERIES,
 }
 
@@ -3574,4 +3640,5 @@ ORACLE_SQL = {
     "lexicon_match": SQL_LEXICON_MATCH,
     "best_match_boost": SQL_BEST_MATCH_BOOST,
     "instance_linking": SQL_INSTANCE_LINKING,
+    "bsm_cascade": SQL_BSM_CASCADE,
 }
