@@ -194,3 +194,45 @@ def test_ufl_quality_query_runs(spark):
     assert (pdf["sim_distance"] >= 0).all()
     assert pdf["intra_coupling"].nunique() == 1
     assert not pdf.isnull().any().any()
+
+
+def test_similarity_distance_equals_bruteforce(spark):
+    """Property: the sorted-adjacent-difference window computation equals
+    the reference's O(row+col) brute-force scan (min |sim - other| over the
+    cell's row and column, plus implicit zeros in sparse form) on a batch
+    of seeded random sparse matrices."""
+    import itertools
+    import random
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n_rows, n_cols = rng.randint(2, 5), rng.randint(2, 5)
+        cells = [
+            (f"s{i}", f"d{j}", round(rng.random(), 3))
+            for i in range(n_rows) for j in range(n_cols)
+            if rng.random() < 0.6
+        ]
+        if not cells:
+            continue
+        m = spark.createDataFrame(cells, "src string, dst string, sim double")
+        got = _by_pair(
+            similarity_distance(m, "src", "dst", "sim",
+                                n_rows=n_rows, n_cols=n_cols).collect(),
+            "sim_distance",
+        )
+        by_src = {}
+        by_dst = {}
+        for s, d, v in cells:
+            by_src.setdefault(s, []).append((d, v))
+            by_dst.setdefault(d, []).append((s, v))
+        for s, d, v in cells:
+            cands = [abs(v - v2) for d2, v2 in by_src[s] if d2 != d]
+            cands += [abs(v - v2) for s2, v2 in by_dst[d] if s2 != s]
+            if len(by_src[s]) < n_cols:
+                cands.append(abs(v))   # implicit zero in the row
+            if len(by_dst[d]) < n_rows:
+                cands.append(abs(v))   # implicit zero in the column
+            want = min(cands) if cands else 1.0e9
+            assert got[(s, d)] == pytest.approx(want, abs=1e-12), (
+                seed, s, d, v, got[(s, d)], want,
+            )
