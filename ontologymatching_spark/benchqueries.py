@@ -2317,9 +2317,16 @@ def q_joslyn_distance_quality(spark, sf_dir):
     dnodes = d.filter(F.col("doc_id") % 2 == 1).select(
         F.col("doc_id").alias("node_id")
     )
-    up = distance_preservation(align, sanc, danc, snodes, dnodes, mode="upper")
-    lo = distance_preservation(align, sanc, danc, snodes, dnodes, mode="lower")
-    od = order_discrepancy(align, sanc, danc)
+    from .operators.evaluate import _mapping_pairs
+
+    # one checkpointed mapping-pair enumeration shared by all three metrics
+    # (each would otherwise rebuild the indexed explode+join + checkpoint)
+    mp = _mapping_pairs(align).localCheckpoint()
+    up = distance_preservation(align, sanc, danc, snodes, dnodes,
+                               mode="upper", pairs=mp)
+    lo = distance_preservation(align, sanc, danc, snodes, dnodes,
+                               mode="lower", pairs=mp)
+    od = order_discrepancy(align, sanc, danc, pairs=mp)
     return (
         up.select(
             F.col("quality").alias("upper_quality"),

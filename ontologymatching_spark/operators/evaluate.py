@@ -136,6 +136,7 @@ def order_preservation(
     src_ancestors: DataFrame,
     dst_ancestors: DataFrame,
     max_pairs: int | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Joslyn order-preservation quality (qualityEvaluation/metrics/joslyn/
     JoslynStructuralQuality.java:149-204 via OrderPreservationQM): for every
@@ -146,8 +147,11 @@ def order_preservation(
 
     Pair enumeration is an indexed explode+equi-join (no CartesianProduct),
     and ``max_pairs`` deterministically hash-samples the alignment at lake
-    scale (see _mapping_pairs). ancestors = (anc_id, desc_id) pairs."""
-    pairs = _mapping_pairs(alignment, max_pairs)
+    scale (see _mapping_pairs). ancestors = (anc_id, desc_id) pairs.
+    ``pairs`` lets callers share one checkpointed enumeration across the
+    Joslyn metric family instead of rebuilding it per metric."""
+    if pairs is None:
+        pairs = _mapping_pairs(alignment, max_pairs)
 
     def _order(df, x, y, anc, tag):
         lt = anc.select(
@@ -186,6 +190,7 @@ def order_discrepancy(
     src_ancestors: DataFrame,
     dst_ancestors: DataFrame,
     max_pairs: int | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """OrderDiscrepancyQM (qualityEvaluation/metrics/OrderDiscrepancyQM.java:
     JoslynStructuralQuality with PREF_USE_PRESERVATION=false): the raw
@@ -193,7 +198,8 @@ def order_discrepancy(
     twin of order_preservation. → one row (order_discrepancy,
     n_mapping_pairs). Computed from its own pair aggregation (not
     1 − order_quality, which is not bit-safe through round(·,6))."""
-    pairs = _mapping_pairs(alignment, max_pairs)
+    if pairs is None:
+        pairs = _mapping_pairs(alignment, max_pairs)
 
     def _order(df, x, y, anc, tag):
         lt = anc.select(
@@ -234,6 +240,7 @@ def distance_preservation(
     dst_nodes: DataFrame,
     mode: str = "upper",
     max_pairs: int | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Joslyn Upper/LowerDistancePreservationQM (UpperDistancePreservationQM
     .java / LowerDistance* via JoslynStructuralQuality.getDistanceQuality
@@ -254,7 +261,8 @@ def distance_preservation(
     mode='upper' the upper-distance twin. Computed from the same
     aggregation but rounded independently of ``quality`` (1−q is not
     bit-safe through round(·,6))."""
-    pairs = _mapping_pairs(alignment, max_pairs).localCheckpoint()
+    if pairs is None:
+        pairs = _mapping_pairs(alignment, max_pairs).localCheckpoint()
 
     def _diameter(anc: DataFrame, nodes: DataFrame) -> float:
         n_nodes = nodes.count()
