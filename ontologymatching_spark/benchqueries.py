@@ -3307,9 +3307,11 @@ def q_ufl_quality(spark, sf_dir):
         shingles_col,
     )
     from .operators.ufl import (
+        _cross_count_col,
+        _cross_sum_col,
+        _STATS_COLS,
         consensus_quality,
-        cross_count_quality,
-        cross_sum_quality,
+        cross_stats,
         expanded_consensus,
         intra_coupling,
         multi_matcher_confidence,
@@ -3372,8 +3374,12 @@ def q_ufl_quality(spark, sf_dir):
     n_src = names.filter(F.col("doc_id") % 2 == 0).count()
     n_dst = names.filter(F.col("doc_id") % 2 == 1).count()
 
-    m = cross_count_quality(p, "src_doc_id", "dst_doc_id", "sim")
-    m = cross_sum_quality(m, "src_doc_id", "dst_doc_id", "sim")
+    # fused row/col stats: ONE groupBy per side feeds cross_count,
+    # cross_sum AND similarity_distance's sparse cell counts (every pair
+    # here has sim > 0, so nonzero count == cell count)
+    m = cross_stats(p, "src_doc_id", "dst_doc_id", "sim")
+    m = m.withColumn("cross_count", _cross_count_col())
+    m = m.withColumn("cross_sum", _cross_sum_col())
     m = similarity_definiteness(m, "sim")
     m = multi_matcher_confidence(
         m, ["sim_lev", "sim_qgram", "sim_dice"], threshold=0.7,
@@ -3386,7 +3392,7 @@ def q_ufl_quality(spark, sf_dir):
     m = expanded_consensus(m, "pos", "neg", "sim", threshold=0.7,
                            max_revalidation=5)
     m = propagation_impact(m, "pos", "neg", validation=5)
-    m = revalidation_rate(m, "pos", "neg")
+    m = revalidation_rate(m, "pos", "neg").drop(*_STATS_COLS)
     ic = intra_coupling(p, "src_doc_id", "dst_doc_id", "sim")
     return m.crossJoin(F.broadcast(ic)).select(
         "src_doc_id", "dst_doc_id", "pos", "neg",

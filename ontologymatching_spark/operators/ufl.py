@@ -43,51 +43,67 @@ from pyspark.sql import functions as F
 _INF = 1.0e9  # stands in for Double.MAX_VALUE; both engines treat it alike
 
 
-def cross_count_quality(pairs: DataFrame, src: str, dst: str, sim: str,
-                        out: str = "cross_count") -> DataFrame:
-    """CrossCountQuality.java:23-62: (nonzero cells in the row + nonzero
-    cells in the column) / (max row count + max col count)."""
-    nz = pairs.filter(F.col(sim) > 0.0)
-    rc = nz.groupBy(src).agg(F.count(F.lit(1)).alias("_rc"))
-    cc = nz.groupBy(dst).agg(F.count(F.lit(1)).alias("_cc"))
-    norm = rc.agg(F.max("_rc").alias("_mr")).crossJoin(
-        cc.agg(F.max("_cc").alias("_mc"))
+def cross_stats(pairs: DataFrame, src: str, dst: str, sim: str) -> DataFrame:
+    """Fused row/col aggregates shared by the cross-* metrics (and reusable
+    as the sparse cell counts of similarity_distance): ONE groupBy per side
+    computes (nonzero count, sim sum); the four scalar maxima ride along in
+    a single broadcast one-row crossJoin. Appends _rc/_cc/_rs/_cs and
+    _mrc/_mcc/_mrs/_mcs (caller drops them)."""
+    rs = pairs.groupBy(src).agg(
+        F.count(F.when(F.col(sim) > 0.0, 1)).alias("_rc"),
+        F.sum(sim).alias("_rs"),
     )
-    return (
-        pairs.join(rc, src, "left")
-        .join(cc, dst, "left")
-        .crossJoin(F.broadcast(norm))
-        .withColumn(
-            out,
-            (F.coalesce(F.col("_rc"), F.lit(0))
-             + F.coalesce(F.col("_cc"), F.lit(0))).cast("double")
-            / (F.col("_mr") + F.col("_mc")),
-        )
-        .drop("_rc", "_cc", "_mr", "_mc")
+    cs = pairs.groupBy(dst).agg(
+        F.count(F.when(F.col(sim) > 0.0, 1)).alias("_cc"),
+        F.sum(sim).alias("_cs"),
     )
-
-
-def cross_sum_quality(pairs: DataFrame, src: str, dst: str, sim: str,
-                      out: str = "cross_sum") -> DataFrame:
-    """CrossSumQuality.java:23-61: (Σ sims in the row + Σ sims in the
-    column) / (max row sum + max col sum)."""
-    rs = pairs.groupBy(src).agg(F.sum(sim).alias("_rs"))
-    cs = pairs.groupBy(dst).agg(F.sum(sim).alias("_cs"))
-    norm = rs.agg(F.max("_rs").alias("_mr")).crossJoin(
-        cs.agg(F.max("_cs").alias("_mc"))
-    )
+    norm = rs.agg(
+        F.max("_rc").alias("_mrc"), F.max("_rs").alias("_mrs")
+    ).crossJoin(cs.agg(F.max("_cc").alias("_mcc"), F.max("_cs").alias("_mcs")))
     return (
         pairs.join(rs, src, "left")
         .join(cs, dst, "left")
         .crossJoin(F.broadcast(norm))
-        .withColumn(
-            out,
-            (F.coalesce(F.col("_rs"), F.lit(0.0))
-             + F.coalesce(F.col("_cs"), F.lit(0.0)))
-            / (F.col("_mr") + F.col("_mc")),
-        )
-        .drop("_rs", "_cs", "_mr", "_mc")
     )
+
+
+def _cross_count_col() -> Column:
+    """CrossCountQuality.java:23-62 on cross_stats columns: (nonzero cells
+    in the row + in the column) / (max row count + max col count)."""
+    return (
+        F.coalesce(F.col("_rc"), F.lit(0))
+        + F.coalesce(F.col("_cc"), F.lit(0))
+    ).cast("double") / (F.col("_mrc") + F.col("_mcc"))
+
+
+def _cross_sum_col() -> Column:
+    """CrossSumQuality.java:23-61 on cross_stats columns: (Σ sims in the
+    row + in the column) / (max row sum + max col sum)."""
+    return (
+        F.coalesce(F.col("_rs"), F.lit(0.0))
+        + F.coalesce(F.col("_cs"), F.lit(0.0))
+    ) / (F.col("_mrs") + F.col("_mcs"))
+
+
+_STATS_COLS = ("_rc", "_cc", "_rs", "_cs", "_mrc", "_mcc", "_mrs", "_mcs")
+
+
+def cross_count_quality(pairs: DataFrame, src: str, dst: str, sim: str,
+                        out: str = "cross_count") -> DataFrame:
+    """CrossCountQuality.java:23-62 standalone (see cross_stats for the
+    fused form used by the ufl_quality query)."""
+    return cross_stats(pairs, src, dst, sim).withColumn(
+        out, _cross_count_col()
+    ).drop(*_STATS_COLS)
+
+
+def cross_sum_quality(pairs: DataFrame, src: str, dst: str, sim: str,
+                      out: str = "cross_sum") -> DataFrame:
+    """CrossSumQuality.java:23-61 standalone (see cross_stats for the fused
+    form used by the ufl_quality query)."""
+    return cross_stats(pairs, src, dst, sim).withColumn(
+        out, _cross_sum_col()
+    ).drop(*_STATS_COLS)
 
 
 def similarity_definiteness(pairs: DataFrame, sim: str,
@@ -144,9 +160,13 @@ def similarity_distance(pairs: DataFrame, src: str, dst: str, sim: str,
 
     df = _neighbor_min(pairs, src, "_rmin")
     df = _neighbor_min(df, dst, "_cmin")
-    rc = pairs.groupBy(src).agg(F.count(F.lit(1)).alias("_rc"))
-    cc = pairs.groupBy(dst).agg(F.count(F.lit(1)).alias("_cc"))
-    df = df.join(rc, src, "left").join(cc, dst, "left")
+    drop = ["_rmin", "_cmin"]
+    if "_rc" not in pairs.columns:
+        rc = pairs.groupBy(src).agg(F.count(F.lit(1)).alias("_rc"))
+        cc = pairs.groupBy(dst).agg(F.count(F.lit(1)).alias("_cc"))
+        df = df.join(rc, src, "left").join(cc, dst, "left")
+        drop += ["_rc", "_cc"]
+    # else: caller already attached cross_stats' per-row/col cell counts
     return df.withColumn(
         out,
         F.least(
@@ -157,7 +177,7 @@ def similarity_distance(pairs: DataFrame, src: str, dst: str, sim: str,
             F.when(F.coalesce(F.col("_cc"), F.lit(0)) < n_rows,
                    F.abs(F.col(sim))).otherwise(F.lit(_INF)),
         ),
-    ).drop("_rmin", "_cmin", "_rc", "_cc")
+    ).drop(*drop)
 
 
 def consensus_quality(pairs: DataFrame, pos: str, neg: str,
