@@ -3525,11 +3525,9 @@ CROSS JOIN norms CROSS JOIN ic
 """
 
 
-ROWS_ONLY_QUERIES = {
-    # only the k-means tail remains rows-only; its context-vector front half
-    # is value-hash-checked via mssg_context_vectors
-    "mssg_senses": q_mssg_senses,
-}
+# empty since the MSSG k-means oracle landed (2^-20-grid unrolled Lloyd
+# rounds): every registered query has a DuckDB value-hash twin
+ROWS_ONLY_QUERIES = {}
 
 
 # ---------------------------------------------------------------------------
@@ -3587,6 +3585,7 @@ QUERIES = {
     "similarity_flooding_docs": q_similarity_flooding_docs,
     "minhash_cc_clusters": q_minhash_cc_clusters,
     "mssg_context_vectors": q_mssg_context_vectors,
+    "mssg_senses": q_mssg_senses,
     "ufl_quality": q_ufl_quality,
     "structural_boost": q_structural_boost,
     "lexicon_match": q_lexicon_match,
