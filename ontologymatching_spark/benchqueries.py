@@ -3319,6 +3319,7 @@ def q_ufl_quality(spark, sf_dir):
         revalidation_rate,
         similarity_definiteness,
         similarity_distance,
+        user_disagreement,
     )
 
     names = _doc_names(spark, sf_dir)
@@ -3392,7 +3393,8 @@ def q_ufl_quality(spark, sf_dir):
     m = expanded_consensus(m, "pos", "neg", "sim", threshold=0.7,
                            max_revalidation=5)
     m = propagation_impact(m, "pos", "neg", validation=5)
-    m = revalidation_rate(m, "pos", "neg").drop(*_STATS_COLS)
+    m = revalidation_rate(m, "pos", "neg")
+    m = user_disagreement(m, "pos", "neg").drop(*_STATS_COLS)
     ic = intra_coupling(p, "src_doc_id", "dst_doc_id", "sim")
     return m.crossJoin(F.broadcast(ic)).select(
         "src_doc_id", "dst_doc_id", "pos", "neg",
@@ -3406,6 +3408,7 @@ def q_ufl_quality(spark, sf_dir):
         F.round("expanded_consensus", 6).alias("expanded_consensus"),
         F.round("propagation_impact", 6).alias("propagation_impact"),
         F.round("revalidation_rate", 6).alias("revalidation_rate"),
+        F.round("user_disagreement", 6).alias("user_disagreement"),
         F.round("intra_coupling", 6).alias("intra_coupling"),
     )
 
@@ -3510,6 +3513,10 @@ SELECT nb.src_doc_id, nb.dst_doc_id, nb.pos, nb.neg,
              ELSE LEAST(3 - nb.pos, 3 - nb.neg)::DOUBLE
                   / GREATEST(3 - nb.pos, 3 - nb.neg) END, 6) AS propagation_impact,
   ROUND((nb.pos + nb.neg)::DOUBLE / norms.maxrep, 6) AS revalidation_rate,
+  ROUND(CASE WHEN nb.pos + nb.neg = 0 THEN 0.0
+             ELSE 4.0 * nb.pos * nb.neg
+                  / ((nb.pos + nb.neg)::DOUBLE * (nb.pos + nb.neg)::DOUBLE)
+        END, 6) AS user_disagreement,
   ROUND(ic.intra_coupling, 6) AS intra_coupling
 FROM (
   SELECT *,

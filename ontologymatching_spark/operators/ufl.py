@@ -249,6 +249,21 @@ def revalidation_rate(pairs: DataFrame, pos: str, neg: str,
     )
 
 
+def user_disagreement(pairs: DataFrame, pos: str, neg: str,
+                      out: str = "user_disagreement") -> DataFrame:
+    """UserDisagrement.java:36-55: 4 × population variance of the
+    {1×pos, 0×neg} validation vector — closed form 4·pos·neg/(pos+neg)²
+    (Bernoulli variance p(1−p) with p = pos/n, rescaled to [0,1]).
+    0.0 for unvalidated cells (the reference's empty vector)."""
+    n = (F.col(pos) + F.col(neg)).cast("double")
+    return pairs.withColumn(
+        out,
+        F.when(n == 0, 0.0).otherwise(
+            4.0 * F.col(pos) * F.col(neg) / (n * n)
+        ),
+    )
+
+
 def intra_coupling(pairs: DataFrame, src: str, dst: str, sim: str) -> DataFrame:
     """IntraCouplingQualityMetric.java:28-70 global measure: each row's
     argmax target is collected; quality = distinct targets / rows — a good

@@ -159,6 +159,19 @@ def test_revalidation_rate(spark, votes):
     assert out[("c", "x")] == pytest.approx(1 / 7)
 
 
+def test_user_disagreement(spark, votes):
+    from ontologymatching_spark.operators.ufl import user_disagreement
+
+    out = _by_pair(user_disagreement(votes, "pos", "neg").collect(),
+                   "user_disagreement")
+    assert out[("a", "x")] == pytest.approx(1.0)        # 2/2 split: max var
+    assert out[("a", "y")] == pytest.approx(0.0)        # unanimous
+    assert out[("c", "y")] == pytest.approx(0.0)
+    assert out[("c", "x")] == pytest.approx(0.0)        # single vote
+    # 4*p*(1-p) with p = 1/2... for ("b","y"): pos=1,neg=0 → 0
+    assert out[("b", "y")] == pytest.approx(0.0)
+
+
 def test_intra_coupling(spark):
     # rows s1,s2 argmax to the SAME target d1; s3 → d2: 2 distinct / 3 rows
     m = spark.createDataFrame(
@@ -189,7 +202,7 @@ def test_ufl_quality_query_runs(spark):
     pdf = q_ufl_quality(spark, "/root/testdata/sf0.001").toPandas()
     assert len(pdf) > 0
     for c in ["cross_count", "cross_sum", "definiteness", "mm_confidence",
-              "revalidation_rate"]:
+              "revalidation_rate", "user_disagreement"]:
         assert pdf[c].between(0.0, 1.0 + 1e-9).all(), c
     assert (pdf["sim_distance"] >= 0).all()
     assert pdf["intra_coupling"].nunique() == 1
