@@ -2876,6 +2876,146 @@ LEFT JOIN (SELECT word, sense, COUNT(*) AS cnt
 SQL_MSSG_SENSES = _sql_mssg_senses()
 
 
+CONTAM_N = 5  # word-n-gram size (13 in the GPT-3/PaLM papers; 5 at test SF)
+
+
+def q_contamination_check(spark, sf_dir):
+    """Benchmark decontamination (operators/text.ngram_contamination): every
+    doc_id % 97 == 0 document plays the held-out benchmark; the rest of the
+    corpus is checked for exact word-5-gram collisions against it (n=13 at
+    production scale). Broadcast membership join on md5 gram hashes — the
+    corpus side never shuffles."""
+    from .operators.text import ngram_contamination
+
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    out = ngram_contamination(corpus, bench, n=CONTAM_N)
+    return out.select(
+        "doc_id", "n_grams", "n_contaminated",
+        F.round("contamination_ratio", 6).alias("contamination_ratio"),
+        "contaminated",
+    )
+
+
+SQL_CONTAMINATION = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+gh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) - {CONTAM_N - 1} <= 0 THEN []::BIGINT[]
+         ELSE list_transform(range(1, len(t) - {CONTAM_N - 2}),
+              i -> ('0x' || substr(md5(array_to_string(
+                       list_slice(t, i, i + {CONTAM_N - 1}), ' ')), 1, 8))::BIGINT)
+    END AS ghs
+  FROM toks
+),
+bench AS (SELECT DISTINCT unnest(ghs) AS g FROM gh WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id, ghs FROM gh WHERE doc_id % 97 <> 0),
+ex AS (SELECT doc_id, len(ghs) AS n_grams, unnest(ghs) AS g FROM corpus),
+hits AS (
+  SELECT c.doc_id, c.n_grams, COUNT(b.g) AS n_contaminated
+  FROM ex c LEFT JOIN bench b ON b.g = c.g
+  GROUP BY 1, 2
+),
+empty AS (
+  SELECT doc_id, 0 AS n_grams, 0 AS n_contaminated
+  FROM corpus WHERE len(ghs) = 0
+),
+allrows AS (SELECT * FROM hits UNION ALL SELECT * FROM empty)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_contaminated AS BIGINT) AS n_contaminated,
+       ROUND(CASE WHEN n_grams > 0
+                  THEN n_contaminated::DOUBLE / n_grams ELSE 0.0 END,
+             6) AS contamination_ratio,
+       n_contaminated > 0 AS contaminated
+FROM allrows
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII/secret scrubbing (operators/text.scrub_pii): every doc_id % 11
+    == 0 document gets a deterministic PII payload appended (email, IPv4,
+    32-hex secret, 10-digit id), then the sequential typed-placeholder
+    redaction runs over the whole corpus. Output: per-type match counts +
+    md5 of the scrubbed text (proving the redaction byte-for-byte)."""
+    from .operators.text import scrub_pii
+
+    d = load(spark, sf_dir, "documents")
+    injected = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" contact user"), F.col("doc_id").cast("string"),
+                    F.lit("@example.com node 10.0.0."),
+                    (F.col("doc_id") % 255).cast("string"),
+                    F.lit(" key 0123456789abcdef0123456789abcdef id 9876543210"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = scrub_pii(injected)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_hexsecret").cast("long").alias("n_hexsecret"),
+        F.col("n_longdigits").cast("long").alias("n_longdigits"),
+        F.md5("scrubbed_text").alias("scrub_md5"),
+    )
+
+
+_PII_SQL_STEPS = [
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("hexsecret", "\\b[0-9a-fA-F]{32,}\\b", "<SECRET>"),
+    ("longdigits", "\\b\\d{9,}\\b", "<NUMBER>"),
+]
+
+
+def _sql_pii_scrub() -> str:
+    cur = "txt"
+    cols = []
+    steps = []
+    for i, (name, pat, repl) in enumerate(_PII_SQL_STEPS):
+        cols.append(
+            f"len(regexp_extract_all({cur}, '{pat}')) AS n_{name}"
+        )
+        nxt = f"t{i}"
+        steps.append(f"regexp_replace({cur}, '{pat}', '{repl}', 'g') AS {nxt}")
+        cur = nxt
+    return f"""
+WITH inj AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 11 = 0
+           THEN ' contact user' || doc_id::VARCHAR || '@example.com node 10.0.0.'
+                || (doc_id % 255)::VARCHAR
+                || ' key 0123456789abcdef0123456789abcdef id 9876543210'
+           ELSE '' END AS txt
+  FROM documents
+),
+s0 AS (SELECT doc_id, txt, {cols[0]}, {steps[0]} FROM inj),
+s1 AS (SELECT doc_id, n_email, {cols[1]}, {steps[1]} FROM s0),
+s2 AS (SELECT doc_id, n_email, n_ipv4, {cols[2]}, {steps[2]} FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ipv4, n_hexsecret, {cols[3]}, {steps[3]} FROM s2)
+SELECT doc_id,
+       CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+       CAST(n_hexsecret AS BIGINT) AS n_hexsecret,
+       CAST(n_longdigits AS BIGINT) AS n_longdigits,
+       md5(t3) AS scrub_md5
+FROM s3
+"""
+
+
+SQL_PII_SCRUB = _sql_pii_scrub()
+
+
 def q_bsm_cascade(spark, sf_dir):
     """BSM tiered exact-match cascade (Matcher-BaseSimilarity/.../
     BaseSimilarityMatcher.java:286-360 — operators/matchers.bsm): exact
@@ -3599,6 +3739,8 @@ QUERIES = {
     "best_match_boost": q_best_match_boost,
     "instance_linking": q_instance_linking,
     "bsm_cascade": q_bsm_cascade,
+    "contamination_check": q_contamination_check,
+    "pii_scrub": q_pii_scrub,
     **ROWS_ONLY_QUERIES,
 }
 
@@ -3660,4 +3802,6 @@ ORACLE_SQL = {
     "best_match_boost": SQL_BEST_MATCH_BOOST,
     "instance_linking": SQL_INSTANCE_LINKING,
     "bsm_cascade": SQL_BSM_CASCADE,
+    "contamination_check": SQL_CONTAMINATION,
+    "pii_scrub": SQL_PII_SCRUB,
 }

@@ -119,3 +119,93 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, h: (acc * FP_B + F.pmod(h, F.lit(FP_P))) % FP_P,
     )
     return df.withColumn("fingerprint64", fp)
+
+
+def word_ngram_hashes_col(text: Column, n: int) -> Column:
+    """Lowercased word n-grams of the trimmed text as md5-derived 32-bit
+    ints (narrow, engine-portable join keys). Documents shorter than n
+    tokens yield an empty array."""
+    toks = tokens_col(text)
+    k = F.size(toks) - (n - 1)
+    grams = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    return F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination for a training corpus: per document, how
+    many of its word n-grams appear anywhere in the benchmark set (the
+    standard exact-n-gram-collision methodology; n=13 in the GPT-3/PaLM
+    data papers — any hit flags the document for removal).
+
+    The benchmark's distinct gram-hash set is TINY relative to the corpus
+    (benchmarks are ~10^4-10^6 items), so the membership test is a
+    broadcast equi-join on the 64-bit gram hash — the corpus side streams
+    map-side, no corpus shuffle. → (doc_id, n_grams, n_contaminated,
+    contamination_ratio, contaminated)."""
+    d = docs.select(
+        F.col(id_col),
+        word_ngram_hashes_col(F.col(text_col), n).alias("_ghs"),
+    )
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngram_hashes_col(F.col(text_col), n)).alias("_gh")
+        )
+        .distinct()
+    )
+    exploded = d.select(
+        id_col, F.size("_ghs").alias("n_grams"), F.explode_outer("_ghs").alias("_gh")
+    )
+    hits = (
+        exploded.join(F.broadcast(bench_grams.withColumn("_hit", F.lit(1))),
+                      "_gh", "left")
+        .groupBy(id_col, "n_grams")
+        .agg(F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_contaminated"))
+    )
+    return hits.select(
+        id_col,
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        F.when(F.col("n_grams") > 0,
+               F.col("n_contaminated").cast("double") / F.col("n_grams"))
+        .otherwise(0.0).alias("contamination_ratio"),
+        (F.col("n_contaminated") > 0).alias("contaminated"),
+    )
+
+
+# PII patterns: identical semantics under Java regex (Spark) and RE2
+# (DuckDB) — no backrefs, no lookarounds. Order matters: email before the
+# generic digit run (the local part may contain digits).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("hexsecret", r"\b[0-9a-fA-F]{32,}\b", "<SECRET>"),
+    ("longdigits", r"\b\d{9,}\b", "<NUMBER>"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact common PII/secret shapes (emails, IPv4s, ≥32-hex-char
+    secrets, ≥9-digit runs) with typed placeholders, appending per-type
+    match counts and the scrubbed text. Pure sequential regexp_replace /
+    regexp_count column expressions — codegen, no UDF, trivially
+    distributable at 100 TB."""
+    out = df
+    scrubbed = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(scrubbed, F.lit(pat)))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return out.withColumn("scrubbed_text", scrubbed)

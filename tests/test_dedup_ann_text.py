@@ -455,3 +455,55 @@ def test_ivf_centroids_deterministic_across_parallelism(spark):
     pa = {r.cid: list(r.ce) for r in a.collect()}
     pb = {r.cid: list(r.ce) for r in b.collect()}
     assert pa == pb  # exact float equality — grid arithmetic
+
+
+def test_ngram_contamination(spark):
+    """Planted-overlap decontamination: a doc sharing a 5-gram with the
+    benchmark is flagged; disjoint docs are not; short docs yield 0 grams."""
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["the quick brown fox jumps over the lazy dog"]})
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [
+                "start here the quick brown fox jumps and more words after",
+                "completely different content with no shared phrases at all",
+                "too short",
+            ],
+        })
+    )
+    out = text.ngram_contamination(docs, bench, n=5).toPandas().set_index("doc_id")
+    assert bool(out.loc[1, "contaminated"])
+    # "the quick brown fox jumps" and "quick brown fox jumps and"? only the
+    # first 5-gram exists in the benchmark
+    assert out.loc[1, "n_contaminated"] == 1
+    assert not bool(out.loc[2, "contaminated"])
+    assert out.loc[3, "n_grams"] == 0
+    assert out.loc[3, "n_contaminated"] == 0
+
+
+def test_scrub_pii(spark):
+    """Typed redaction with exact expectations on a hand-built string."""
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1],
+            "text": ["mail a.user+x@corp.example.org from 192.168.0.1 token "
+                     "deadbeefdeadbeefdeadbeefdeadbeef acct 1234567890 done"],
+        })
+    )
+    row = text.scrub_pii(df).collect()[0]
+    assert row.n_email == 1
+    assert row.n_ipv4 == 1
+    assert row.n_hexsecret == 1
+    assert row.n_longdigits == 1
+    assert row.scrubbed_text == (
+        "mail <EMAIL> from <IP> token <SECRET> acct <NUMBER> done"
+    )
+    # clean text is untouched, all counts zero
+    clean = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2], "text": ["no secrets here just words"]})
+    )
+    r2 = text.scrub_pii(clean).collect()[0]
+    assert (r2.n_email, r2.n_ipv4, r2.n_hexsecret, r2.n_longdigits) == (0, 0, 0, 0)
+    assert r2.scrubbed_text == "no secrets here just words"
