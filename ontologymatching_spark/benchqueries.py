@@ -2935,6 +2935,69 @@ FROM allrows
 """
 
 
+def q_repetition_profile(spark, sf_dir):
+    """Gopher-style repetition filters (operators/text.repetition_stats):
+    duplicate-token ratio, top-unigram and top-bigram token fractions, and
+    the >0.18 top-bigram flag (Rae et al. 2021 §A1.1) per document."""
+    from .operators.text import repetition_stats
+
+    out = repetition_stats(load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("dup_token_ratio", 6).alias("dup_token_ratio"),
+        F.round("top_unigram_frac", 6).alias("top_unigram_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        "repetition_flagged",
+    )
+
+
+SQL_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id, t, len(t) AS n_tokens,
+         1.0 - len(list_distinct(t))::DOUBLE / GREATEST(len(t), 1)
+           AS dup_token_ratio
+  FROM toks
+),
+uni AS (
+  SELECT doc_id, MAX(c) AS topu FROM (
+    SELECT doc_id, w, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(t) AS w FROM base)
+    GROUP BY 1, 2
+  ) GROUP BY 1
+),
+bg AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(range(1, len(t)),
+                   i -> array_to_string(list_slice(t, i, i + 1), ' '))
+              ELSE []::VARCHAR[] END AS b
+  FROM base
+),
+bigtop AS (SELECT doc_id, MAX(nb) AS nb, MAX(topb) AS topb
+           FROM (SELECT doc_id, nb, COUNT(*) AS topb
+                 FROM (SELECT doc_id, len(b) AS nb, unnest(b) AS w FROM bg)
+                 GROUP BY doc_id, nb, w)
+           GROUP BY doc_id),
+empties AS (SELECT doc_id, 0 AS nb, NULL AS topb FROM bg WHERE len(b) = 0)
+SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       ROUND(b.dup_token_ratio, 6) AS dup_token_ratio,
+       ROUND(COALESCE(u.topu, 0)::DOUBLE / GREATEST(b.n_tokens, 1), 6)
+         AS top_unigram_frac,
+       ROUND(COALESCE(t.topb, 0)::DOUBLE / GREATEST(COALESCE(t.nb, 0), 1), 6)
+         AS top_bigram_frac,
+       (COALESCE(t.topb, 0)::DOUBLE / GREATEST(COALESCE(t.nb, 0), 1)) > 0.18
+         AS repetition_flagged
+FROM base b
+LEFT JOIN uni u USING (doc_id)
+LEFT JOIN (SELECT * FROM bigtop UNION ALL SELECT * FROM empties) t
+  USING (doc_id)
+"""
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII/secret scrubbing (operators/text.scrub_pii): every doc_id % 11
     == 0 document gets a deterministic PII payload appended (email, IPv4,
@@ -3741,6 +3804,7 @@ QUERIES = {
     "bsm_cascade": q_bsm_cascade,
     "contamination_check": q_contamination_check,
     "pii_scrub": q_pii_scrub,
+    "repetition_profile": q_repetition_profile,
     **ROWS_ONLY_QUERIES,
 }
 
@@ -3804,4 +3868,5 @@ ORACLE_SQL = {
     "bsm_cascade": SQL_BSM_CASCADE,
     "contamination_check": SQL_CONTAMINATION,
     "pii_scrub": SQL_PII_SCRUB,
+    "repetition_profile": SQL_REPETITION,
 }

@@ -209,3 +209,67 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         out = out.withColumn(f"n_{name}", F.regexp_count(scrubbed, F.lit(pat)))
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return out.withColumn("scrubbed_text", scrubbed)
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     top_bigram_max: float = 0.18) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1: pages
+    dominated by repeated phrases are low-quality training data): per doc,
+    the duplicate-token ratio (1 − distinct/total), the fraction of tokens
+    claimed by the most frequent unigram and bigram, and a flag when the
+    top-bigram fraction exceeds ``top_bigram_max`` (the Gopher bound).
+
+    distinct/total stays in codegen (array ops); the mode counts are one
+    explode + two-level agg partitioned by doc — per-doc work, never a
+    corpus-wide shuffle key."""
+    toks = tokens_col(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_t"),
+        F.size(toks).alias("n_tokens"),
+        (1.0 - F.size(F.array_distinct(toks)).cast("double")
+         / F.greatest(F.size(toks), F.lit(1))).alias("dup_token_ratio"),
+    )
+    uni = (
+        base.select(id_col, "n_tokens", F.explode("_t").alias("_w"))
+        .groupBy(id_col, "n_tokens", "_w").agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col, "n_tokens").agg(F.max("_c").alias("_topu"))
+    )
+    big = base.select(
+        id_col,
+        F.when(
+            F.col("n_tokens") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.col("n_tokens") - 1, F.lit(1))),
+                lambda i: F.array_join(F.slice(F.col("_t"), i, 2), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("_bg"),
+    )
+    bigf = (
+        big.select(id_col, F.size("_bg").alias("_nb"),
+                   F.explode_outer("_bg").alias("_b"))
+        .groupBy(id_col, "_nb", "_b").agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col, "_nb").agg(
+            F.max(F.when(F.col("_b").isNotNull(), F.col("_c"))).alias("_topb")
+        )
+    )
+    out = (
+        base.drop("_t")
+        .join(uni.select(id_col, "_topu"), id_col, "left")
+        .join(bigf, id_col, "left")
+    )
+    topu = F.coalesce(F.col("_topu"), F.lit(0)).cast("double") / F.greatest(
+        F.col("n_tokens"), F.lit(1)
+    )
+    topb = F.coalesce(F.col("_topb"), F.lit(0)).cast("double") / F.greatest(
+        F.col("_nb"), F.lit(1)
+    )
+    return out.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("dup_token_ratio").alias("dup_token_ratio"),
+        topu.alias("top_unigram_frac"),
+        topb.alias("top_bigram_frac"),
+        (topb > top_bigram_max).alias("repetition_flagged"),
+    )

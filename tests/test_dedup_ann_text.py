@@ -507,3 +507,29 @@ def test_scrub_pii(spark):
     r2 = text.scrub_pii(clean).collect()[0]
     assert (r2.n_email, r2.n_ipv4, r2.n_hexsecret, r2.n_longdigits) == (0, 0, 0, 0)
     assert r2.scrubbed_text == "no secrets here just words"
+
+
+def test_repetition_stats(spark):
+    """Hand-computed Gopher repetition signals: 'spam spam spam ham' has
+    dup ratio 1-2/4, top unigram 3/4, top bigram 'spam spam' 2/3 > 0.18."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2],
+                      "text": ["spam spam spam ham",
+                               "all ten words in this line are fully distinct tokens"]})
+    )
+    out = text.repetition_stats(df).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_tokens"] == 4
+    assert out.loc[1, "dup_token_ratio"] == pytest.approx(0.5)
+    assert out.loc[1, "top_unigram_frac"] == pytest.approx(3 / 4)
+    assert out.loc[1, "top_bigram_frac"] == pytest.approx(2 / 3)
+    assert bool(out.loc[1, "repetition_flagged"])
+    assert out.loc[2, "dup_token_ratio"] == pytest.approx(0.0)
+    assert out.loc[2, "top_unigram_frac"] == pytest.approx(1 / 10)
+    assert out.loc[2, "top_bigram_frac"] == pytest.approx(1 / 9)  # < 0.18
+    assert not bool(out.loc[2, "repetition_flagged"])
+    # single-token doc: no bigrams, nothing flagged
+    one = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [3], "text": ["solo"]})
+    )
+    r = text.repetition_stats(one).collect()[0]
+    assert r.top_bigram_frac == 0.0 and not r.repetition_flagged
