@@ -1602,6 +1602,49 @@ FROM s
 """
 
 
+MIX_RATES = {"en": 0.5, "es": 0.25}
+MIX_DEFAULT = 0.1
+
+
+def q_stratified_mix(spark, sf_dir):
+    """Domain mixing (operators/sampling.stratified_sample): language-ID
+    the corpus, then keep a deterministic md5-coin sample per language
+    stratum (en 50%, es 25%, everything else 10%) — the mixture-targeting
+    step of a training-data pipeline. Reproducible across runs/engines/
+    partitionings (no RNG state); one codegen filter, no shuffle."""
+    from .operators.sampling import stratified_sample
+    from .operators.text import lang_id
+
+    d = load(spark, sf_dir, "documents")
+    langs = lang_id(d.select("doc_id", "text")).select("doc_id", "lang_guess")
+    return stratified_sample(
+        langs, "lang_guess", MIX_RATES, "doc_id", default_rate=MIX_DEFAULT,
+    )
+
+
+def _sql_stratified_mix() -> str:
+    cases = " ".join(
+        f"WHEN lang_guess = '{k}' THEN {v}"
+        for k, v in sorted(MIX_RATES.items())
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+s AS (SELECT doc_id, {_sql_lang_scores()} FROM t),
+l AS (SELECT doc_id, {_sql_lang_guess()} AS lang_guess FROM s)
+SELECT doc_id, lang_guess FROM l
+WHERE ('0x' || substr(md5('mix' || doc_id::VARCHAR), 1, 8))::BIGINT
+      / 4294967296.0
+      < CASE {cases} ELSE {MIX_DEFAULT} END
+"""
+
+
+SQL_STRATIFIED_MIX = _sql_stratified_mix()
+
+
 def q_token_profile(spark, sf_dir):
     """Token counting: whitespace tokens + BPE-ish pieces (GPT-2-style
     pretokenizer shape) + chars — operators/text.token_counts."""
@@ -3805,6 +3848,7 @@ QUERIES = {
     "contamination_check": q_contamination_check,
     "pii_scrub": q_pii_scrub,
     "repetition_profile": q_repetition_profile,
+    "stratified_mix": q_stratified_mix,
     **ROWS_ONLY_QUERIES,
 }
 
@@ -3869,4 +3913,5 @@ ORACLE_SQL = {
     "contamination_check": SQL_CONTAMINATION,
     "pii_scrub": SQL_PII_SCRUB,
     "repetition_profile": SQL_REPETITION,
+    "stratified_mix": SQL_STRATIFIED_MIX,
 }

@@ -533,3 +533,37 @@ def test_repetition_stats(spark):
     )
     r = text.repetition_stats(one).collect()[0]
     assert r.top_bigram_frac == 0.0 and not r.repetition_flagged
+
+
+def test_stratified_sample(spark):
+    """Deterministic domain mixing: per-stratum kept fractions approach the
+    configured rates, membership is identical across partitionings, and a
+    re-run keeps exactly the same rows (md5 coin, no RNG state)."""
+    from ontologymatching_spark.operators import sampling
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, stratum string")
+    rates = {"a": 0.5, "b": 0.1}
+    out1 = sampling.stratified_sample(df, "stratum", rates, "k")
+    kept = out1.groupBy("stratum").count().toPandas().set_index("stratum")
+    assert abs(kept.loc["a", "count"] / 1000 - 0.5) < 0.06
+    assert abs(kept.loc["b", "count"] / 1000 - 0.1) < 0.04
+    ids1 = {r.k for r in out1.collect()}
+    ids2 = {
+        r.k
+        for r in sampling.stratified_sample(
+            df.repartition(13), "stratum", rates, "k"
+        ).collect()
+    }
+    assert ids1 == ids2
+    # default_rate drops unknown strata entirely at 0.0
+    extra = spark.createDataFrame([(99999, "zz")], "k long, stratum string")
+    assert sampling.stratified_sample(extra, "stratum", rates, "k").count() == 0
+    # a different salt draws a different (still deterministic) coin
+    ids3 = {
+        r.k
+        for r in sampling.stratified_sample(
+            df, "stratum", rates, "k", salt="other"
+        ).collect()
+    }
+    assert ids3 != ids1
