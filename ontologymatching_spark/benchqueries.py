@@ -37,8 +37,11 @@ _MD5_INT = "conv(substring(md5({t}), 1, 8), 16, 10)"
 
 def _md5int_col(c):
     """First 32 bits of md5 as a bigint — identical in DuckDB via
-    ('0x' || substr(md5(t),1,8))::bigint."""
-    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+    ('0x' || substr(md5(t),1,8))::bigint. Canonical recipe lives in
+    functions.spark_sims.md5int_col; this alias keeps call sites short."""
+    from .functions.spark_sims import md5int_col
+
+    return md5int_col(c)
 
 
 # MinHash constants (shared with the SQL oracle below): 16 signatures in
@@ -2951,7 +2954,7 @@ gh AS (
     CASE WHEN len(t) - {CONTAM_N - 1} <= 0 THEN []::BIGINT[]
          ELSE list_transform(range(1, len(t) - {CONTAM_N - 2}),
               i -> ('0x' || substr(md5(array_to_string(
-                       list_slice(t, i, i + {CONTAM_N - 1}), ' ')), 1, 8))::BIGINT)
+                       list_slice(t, i, i + {CONTAM_N - 1}), ' ')), 1, 15))::BIGINT)
     END AS ghs
   FROM toks
 ),
@@ -3618,8 +3621,14 @@ def q_ufl_quality(spark, sf_dir):
         # blocked-join sims per branch (the flooding sigma0 lesson)
         .localCheckpoint()
     )
-    n_src = names.filter(F.col("doc_id") % 2 == 0).count()
-    n_dst = names.filter(F.col("doc_id") % 2 == 1).count()
+    # both parity counts in ONE job (two separate count() actions would
+    # re-run the doc-name derivation twice)
+    parity_counts = {
+        int(r["p"]): r["count"]
+        for r in names.groupBy((F.col("doc_id") % 2).alias("p")).count().collect()
+    }
+    n_src = int(parity_counts.get(0, 0))
+    n_dst = int(parity_counts.get(1, 0))
 
     # fused row/col stats: ONE groupBy per side feeds cross_count,
     # cross_sum AND similarity_distance's sparse cell counts (every pair

@@ -21,6 +21,15 @@ from . import simkernels, textnorm
 # ---------------------------------------------------------------------------
 
 
+def md5int_col(c: Column, nhex: int = 8) -> Column:
+    """First ``nhex`` hex chars of md5 as a non-negative bigint — the ONE
+    engine-portable hash recipe (DuckDB twin:
+    ('0x' || substr(md5(x), 1, nhex))::BIGINT). nhex=8 → 32 bits (bucket
+    keys); nhex=15 → 60 bits (membership/collision-sensitive uses; 15 stays
+    inside a signed BIGINT in both engines)."""
+    return F.conv(F.substring(F.md5(c), 1, nhex), 16, 10).cast("long")
+
+
 def norm_name_col(c: Column) -> Column:
     """Tier-2 normalization as Catalyst expressions (no Python).
     Must produce byte-identical output to textnorm.normalize(s)."""

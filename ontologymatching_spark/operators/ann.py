@@ -161,10 +161,10 @@ def ivf_train_centroids(
     grid; a cell that loses all members keeps its previous centroid. Every
     arithmetic step stays on the binary grid, so centroids are bit-identical
     across engines, partitionings and summation orders."""
+    from ..functions.spark_sims import md5int_col
+
     grid = float(1 << grid_bits)
-    h = F.conv(
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    h = md5int_col(F.col("vec_id").cast("string"))
     train = (
         vectors.select("vec_id", _quantize_col(F.col("embedding"), grid).alias("qe"))
         .withColumn("_h", h)
@@ -247,30 +247,36 @@ def ivf_topk(
     # salt the cell join: with few cells (small benches / early index
     # builds) the cid key alone caps join parallelism at n_centroids tasks;
     # replicating each probe across n_salt sub-cells while each candidate
-    # keeps exactly one (cand_id-derived) salt preserves the pair set and
-    # spreads a hot cell across tasks (same trick as blocking.salted_*;
-    # at production scale n_centroids ~ sqrt(N) already gives cardinality,
-    # salting then simply subdivides the largest cells)
-    cells = (
-        ranked.filter(F.col("_rk") == 1)
-        .join(emb, "vec_id")
-        .select(
-            F.col("vec_id").alias("cand_id"),
-            F.col("embedding").alias("ce2"), "cid",
-            (F.col("vec_id") % n_salt).cast("int").alias("_salt"),
-        )
+    # keeps exactly one (cand_id-derived, pmod so negative ids land in
+    # [0, n_salt) too) salt preserves the pair set and spreads a hot cell
+    # across tasks (same trick as blocking.salted_*; at production scale
+    # n_centroids ~ sqrt(N) already gives cardinality, salting then simply
+    # subdivides the largest cells). The salted join runs on NARROW id rows
+    # — embeddings attach afterwards by id, once per side, instead of
+    # riding the join replicated nprobe*n_salt times (the lsh_topk
+    # narrow-rows-through-shuffle lesson).
+    cells = ranked.filter(F.col("_rk") == 1).select(
+        F.col("vec_id").alias("cand_id"), "cid",
+        F.pmod(F.col("vec_id"), F.lit(n_salt)).cast("int").alias("_salt"),
     )
-    probes = (
-        ranked.join(emb, "vec_id")
-        .select(
-            F.col("vec_id").alias("probe_id"),
-            F.col("embedding").alias("pe"), "cid",
-            F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("_salt"),
-        )
+    probes = ranked.select(
+        F.col("vec_id").alias("probe_id"), "cid",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("_salt"),
     )
-    pairs = (
+    pair_ids = (
         probes.join(cells, ["cid", "_salt"])
         .filter(F.col("probe_id") != F.col("cand_id"))
+        .select("probe_id", "cand_id")
+    )
+    pairs = (
+        pair_ids.join(
+            emb.select(F.col("vec_id").alias("probe_id"),
+                       F.col("embedding").alias("pe")), "probe_id"
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("cand_id"),
+                       F.col("embedding").alias("ce2")), "cand_id"
+        )
         .withColumn(
             "cosine", F.round(cosine_array_col(F.col("pe"), F.col("ce2")), 9)
         )

@@ -20,11 +20,11 @@ _DENOM = float(1 << 32)
 def hash_uniform_col(key: Column, salt: str = "") -> Column:
     """md5-derived uniform in [0,1): first 32 bits of md5(salt||key) /
     2^32. Engine-portable (DuckDB: ('0x'||substr(md5(...),1,8))::BIGINT)."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8),
-        16, 10,
-    ).cast("long")
-    return h / F.lit(_DENOM)
+    from ..functions.spark_sims import md5int_col
+
+    return md5int_col(
+        F.concat(F.lit(salt), key.cast("string"))
+    ) / F.lit(_DENOM)
 
 
 def stratified_sample(

@@ -122,9 +122,11 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def word_ngram_hashes_col(text: Column, n: int) -> Column:
-    """Lowercased word n-grams of the trimmed text as md5-derived 32-bit
-    ints (narrow, engine-portable join keys). Documents shorter than n
-    tokens yield an empty array."""
+    """Lowercased word n-grams of the trimmed text as md5-derived 60-bit
+    ints (narrow, engine-portable join keys; 60 bits — 15 md5 hex chars —
+    keep the false-collision odds negligible for any-hit membership tests
+    at production gram cardinalities, where 32 bits would flag clean docs).
+    Documents shorter than n tokens yield an empty array."""
     toks = tokens_col(text)
     k = F.size(toks) - (n - 1)
     grams = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
@@ -133,10 +135,9 @@ def word_ngram_hashes_col(text: Column, n: int) -> Column:
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         )
     )
-    return F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
-    )
+    from ..functions.spark_sims import md5int_col
+
+    return F.transform(grams, lambda g: md5int_col(g, nhex=15))
 
 
 def ngram_contamination(
@@ -153,7 +154,7 @@ def ngram_contamination(
 
     The benchmark's distinct gram-hash set is TINY relative to the corpus
     (benchmarks are ~10^4-10^6 items), so the membership test is a
-    broadcast equi-join on the 64-bit gram hash — the corpus side streams
+    broadcast equi-join on the 60-bit gram hash — the corpus side streams
     map-side, no corpus shuffle. → (doc_id, n_grams, n_contaminated,
     contamination_ratio, contaminated)."""
     d = docs.select(

@@ -29,10 +29,10 @@ loops become relational aggregations:
   Argmax ties break deterministically by (sim DESC, dst ASC).
 
 All column arithmetic stays in whole-stage codegen; the only shuffles are
-the row/col groupBys and the row/col self-equi-joins of SimilarityDistance
-(bounded: blocked pair tables cap per-row fanout, so the self-join is
-sum-of-row-sizes², never |matrix|²). Scalar normalizers are one-row aggs
-broadcast back with a crossJoin.
+the row/col groupBys and SimilarityDistance's two sort-window passes
+(min-to-any-neighbor = min adjacent gap after an in-partition sort — NO
+self-join, so a hot row costs n log n, never n²). Scalar normalizers are
+one-row aggs broadcast back with a crossJoin.
 """
 
 from __future__ import annotations
