@@ -61,6 +61,10 @@ BAND_ROWS = 4
 MH_EST_MIN = 0.75
 
 STOPWORDS_SQL = "('the','a','an','and','or','of','in','to','is','it')"
+
+# word-n-gram size for decontamination (13 in the GPT-3/PaLM papers; 5 at
+# test SF so collisions actually occur on the tiny corpus)
+CONTAM_N = 5
 STOPWORDS = ["the", "a", "an", "and", "or", "of", "in", "to", "is", "it"]
 
 
@@ -2711,6 +2715,73 @@ SELECT doc_id, fingerprint FROM (
 """
 
 
+def q_streaming_decontam(spark, sf_dir):
+    """Streaming decontamination-at-ingest (streaming/decontam.py):
+    documents land as two time-ordered microbatch drops; each batch runs
+    the batch ngram_contamination operator against the static benchmark
+    (doc_id % 97 == 0 docs) inside foreachBatch and only clean docs reach
+    the lake. Memoryless (no state store); survivors must equal the batch
+    filter's clean set — SQL_STREAM_DECONTAM hash-checks them."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.decontam import run_decontam_available_now
+
+    epoch = 1_704_067_200
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.timestamp_seconds(F.lit(epoch) + F.col("doc_id") * 60).alias("ts"),
+        "text",
+    )
+    root = tempfile.mkdtemp(prefix="q_decontam_stream_")
+    src, out, chk = (os.path.join(root, d) for d in ("src", "out", "chk"))
+    os.makedirs(src)
+
+    def _drop(df, name):
+        tmp = tempfile.mkdtemp(prefix="q_decontam_stage_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        shutil.move(part, os.path.join(src, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    _drop(corpus.filter(F.col("doc_id") % 3 != 0), "drop1.parquet")
+    _drop(corpus.filter(F.col("doc_id") % 3 == 0), "drop2.parquet")
+    run_decontam_available_now(spark, src, out, chk, bench, n=CONTAM_N)
+    got = spark.read.parquet(out).select(
+        "doc_id", F.md5("text").alias("fp")
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return got
+
+
+SQL_STREAM_DECONTAM = f"""
+WITH toks AS (
+  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+gh AS (
+  SELECT doc_id, text,
+    CASE WHEN len(t) - {CONTAM_N - 1} <= 0 THEN []::BIGINT[]
+         ELSE list_transform(range(1, len(t) - {CONTAM_N - 2}),
+              i -> ('0x' || substr(md5(array_to_string(
+                       list_slice(t, i, i + {CONTAM_N - 1}), ' ')), 1, 15))::BIGINT)
+    END AS ghs
+  FROM toks
+),
+bench AS (SELECT DISTINCT unnest(ghs) AS g FROM gh WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id, text, ghs FROM gh WHERE doc_id % 97 <> 0)
+SELECT doc_id, md5(text) AS fp
+FROM corpus c
+WHERE NOT EXISTS (
+  SELECT 1 FROM bench b WHERE list_contains(c.ghs, b.g)
+)
+"""
+
+
 MSSG_DIM = 8
 
 
@@ -2920,9 +2991,6 @@ LEFT JOIN (SELECT word, sense, COUNT(*) AS cnt
 
 
 SQL_MSSG_SENSES = _sql_mssg_senses()
-
-
-CONTAM_N = 5  # word-n-gram size (13 in the GPT-3/PaLM papers; 5 at test SF)
 
 
 def q_contamination_check(spark, sf_dir):
@@ -3858,6 +3926,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "repetition_profile": q_repetition_profile,
     "stratified_mix": q_stratified_mix,
+    "streaming_decontam": q_streaming_decontam,
     **ROWS_ONLY_QUERIES,
 }
 
@@ -3923,4 +3992,5 @@ ORACLE_SQL = {
     "pii_scrub": SQL_PII_SCRUB,
     "repetition_profile": SQL_REPETITION,
     "stratified_mix": SQL_STRATIFIED_MIX,
+    "streaming_decontam": SQL_STREAM_DECONTAM,
 }

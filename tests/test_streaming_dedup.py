@@ -76,3 +76,53 @@ def test_streaming_dedup_matches_batch_twin(spark):
     assert len(got2) == 26
     assert 101 in set(got2["doc_id"]) and 100 not in set(got2["doc_id"])
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_streaming_decontam(spark, tmp_path):
+    """foreachBatch decontamination-at-ingest: a doc sharing a 5-gram with
+    the static benchmark is rejected in whichever microbatch it lands;
+    clean docs in both drops are admitted."""
+    import datetime
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ontologymatching_spark.streaming.decontam import (
+        run_decontam_available_now,
+    )
+
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0],
+                      "text": ["the quick brown fox jumps over it"]})
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    rows1 = [(1, t0, "prefix the quick brown fox jumps suffix words"),
+             (2, t0, "totally clean content in the first drop here")]
+    rows2 = [(3, t0, "another clean document in the second drop"),
+             (4, t0, "again the quick brown fox jumps tail")]
+    src = str(tmp_path / "src"); os.makedirs(src)
+    out = str(tmp_path / "out"); chk = str(tmp_path / "chk")
+
+    def _drop(rows, name):
+        df = spark.createDataFrame(
+            rows, "doc_id long, ts timestamp, text string"
+        )
+        tmp = tempfile.mkdtemp()
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        shutil.move(part, os.path.join(src, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    _drop(rows1, "d1.parquet")
+    _drop(rows2, "d2.parquet")
+    run_decontam_available_now(spark, src, out, chk, bench, n=5)
+    admitted = sorted(
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    # docs 1 and 4 share "the quick brown fox jumps" with the benchmark —
+    # rejected in their respective microbatches; 2 and 3 admitted
+    assert admitted == [2, 3]
