@@ -3112,6 +3112,87 @@ LEFT JOIN (SELECT * FROM bigtop UNION ALL SELECT * FROM empties) t
 """
 
 
+CHUNK_MAX, CHUNK_OVERLAP = 24, 8   # 512/64-shaped at production; small at SF
+PACK_BUDGET, PACK_SHARDS = 96, 8
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Context-window chunking (operators/text.chunk_documents): token
+    windows of 24 with overlap 8 (512/64-shaped at production scale) —
+    JVM-side array slices, one row in / n_chunks rows out, no shuffle.
+    Rows keep a gram fingerprint of each chunk so the hash check proves
+    the exact window boundaries."""
+    from .operators.text import chunk_documents
+
+    out = chunk_documents(
+        load(spark, sf_dir, "documents"),
+        max_tokens=CHUNK_MAX, overlap=CHUNK_OVERLAP,
+    )
+    return out.select(
+        "doc_id", "chunk_idx", "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+SQL_DOC_CHUNKS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+nc AS (
+  SELECT doc_id, t,
+         GREATEST(CAST(ceil((len(t) - {CHUNK_OVERLAP})::DOUBLE
+                            / {CHUNK_MAX - CHUNK_OVERLAP}) AS INT), 1) AS k
+  FROM toks
+),
+ex AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         array_to_string(
+           list_slice(t, i * {CHUNK_MAX - CHUNK_OVERLAP} + 1,
+                      i * {CHUNK_MAX - CHUNK_OVERLAP} + {CHUNK_MAX}),
+           ' ') AS chunk_text
+  FROM nc, unnest(range(0, k)) AS u(i)
+)
+SELECT doc_id, chunk_idx,
+       len(string_split(chunk_text, ' '))::BIGINT AS n_chunk_tokens,
+       md5(chunk_text) AS chunk_md5
+FROM ex
+"""
+
+
+def q_doc_packing(spark, sf_dir):
+    """Sequence packing (operators/text.pack_documents): 8 shards (the
+    per-worker packer analog), 96-token budget, within-shard cumulative
+    assignment — globally-unique engine-portable pack ids."""
+    from .operators.text import pack_documents
+
+    return pack_documents(
+        load(spark, sf_dir, "documents"),
+        budget=PACK_BUDGET, n_shards=PACK_SHARDS,
+    )
+
+
+SQL_DOC_PACKING = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS n_tokens,
+         (doc_id % {PACK_SHARDS})::BIGINT AS shard_id
+  FROM documents
+),
+c AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (
+              PARTITION BY shard_id ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM base
+)
+SELECT doc_id, n_tokens, shard_id,
+       (shard_id * 1000000000 + CAST(floor(before::DOUBLE / {PACK_BUDGET}) AS BIGINT))
+         AS pack_id,
+       (before % {PACK_BUDGET})::BIGINT AS pack_offset
+FROM c
+"""
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII/secret scrubbing (operators/text.scrub_pii): every doc_id % 11
     == 0 document gets a deterministic PII payload appended (email, IPv4,
@@ -3927,6 +4008,8 @@ QUERIES = {
     "repetition_profile": q_repetition_profile,
     "stratified_mix": q_stratified_mix,
     "streaming_decontam": q_streaming_decontam,
+    "doc_chunks": q_doc_chunks,
+    "doc_packing": q_doc_packing,
     **ROWS_ONLY_QUERIES,
 }
 
@@ -3993,4 +4076,6 @@ ORACLE_SQL = {
     "repetition_profile": SQL_REPETITION,
     "stratified_mix": SQL_STRATIFIED_MIX,
     "streaming_decontam": SQL_STREAM_DECONTAM,
+    "doc_chunks": SQL_DOC_CHUNKS,
+    "doc_packing": SQL_DOC_PACKING,
 }

@@ -274,3 +274,73 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         topb.alias("top_bigram_frac"),
         (topb > top_bigram_max).alias("repetition_flagged"),
     )
+
+
+def chunk_documents(df: DataFrame, max_tokens: int = 512, overlap: int = 64,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Split long documents into token-window chunks with overlap — the
+    context-window preparation step of a training pipeline. Stride =
+    max_tokens − overlap; chunk i covers tokens [1 + i·stride,
+    i·stride + max_tokens]; the last window starts at the final stride
+    position that still introduces new tokens. All JVM-side array slices
+    (sequence + transform + posexplode) — one row in, n_chunks rows out,
+    no shuffle, no UDF. → (doc_id, chunk_idx, n_chunk_tokens, chunk_text)."""
+    stride = max_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than max_tokens")
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    # number of chunks: ceil(max(n - overlap, 1) / stride), at least 1
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / stride), F.lit(1)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * stride + 1, max_tokens), " "
+        ),
+    )
+    out = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    )
+    return out.select(
+        id_col, "chunk_idx",
+        F.size(F.split(F.col("chunk_text"), " ")).cast("long")
+        .alias("n_chunk_tokens"),
+        "chunk_text",
+    )
+
+
+def pack_documents(df: DataFrame, budget: int = 2048, n_shards: int = 64,
+                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget packs so
+    short documents share a context window (the streaming-pack
+    approximation: within a shard, docs in deterministic id order, pack =
+    floor(cumulative tokens-before-this-doc / budget)).
+
+    Packing is SHARDED (shard = pmod(id, n_shards)) exactly like a
+    production per-worker packer: a single global cumsum window would
+    serialize the corpus through one partition, while per-shard windows
+    partition-parallelize and stay deterministic. pack_id = shard·10^9 +
+    within-shard pack (globally unique, engine-portable arithmetic). A doc
+    longer than the budget spans pack boundaries (chunk first via
+    chunk_documents for hard caps). → (doc_id, n_tokens, shard_id,
+    pack_id, pack_offset)."""
+    from pyspark.sql import Window
+
+    toks = tokens_col(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard_id"),
+    )
+    w = Window.partitionBy("shard_id").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        id_col, "n_tokens", "shard_id",
+        (F.col("shard_id") * 1_000_000_000
+         + F.floor(before / budget)).cast("long").alias("pack_id"),
+        F.pmod(before, F.lit(budget)).cast("long").alias("pack_offset"),
+    )

@@ -567,3 +567,49 @@ def test_stratified_sample(spark):
         ).collect()
     }
     assert ids3 != ids1
+
+
+def test_chunk_documents(spark):
+    """Exact window boundaries: 10 tokens, max 4, overlap 2 → stride 2,
+    ceil((10-2)/2)=4 chunks covering [1-4],[3-6],[5-8],[7-10]."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"]})
+    )
+    out = (
+        text.chunk_documents(df, max_tokens=4, overlap=2)
+        .toPandas().sort_values("chunk_idx")
+    )
+    assert list(out["chunk_text"]) == [
+        "t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8", "t7 t8 t9 t10",
+    ]
+    assert list(out["n_chunk_tokens"]) == [4, 4, 4, 4]
+    # short doc → one chunk, whole text
+    short = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2], "text": ["just three tokens"]})
+    )
+    row = text.chunk_documents(short, max_tokens=4, overlap=2).collect()
+    assert len(row) == 1 and row[0].chunk_text == "just three tokens"
+    with pytest.raises(ValueError):
+        text.chunk_documents(df, max_tokens=4, overlap=4)
+
+
+def test_pack_documents(spark):
+    """Within one shard, packs fill to the budget in id order: docs of
+    3/4/5/6 tokens with budget 8 → offsets 0,3,7,12 → packs 0,0,0,1."""
+    rows = [(i * 8, f"{' tok' * n}".strip()) for i, n in
+            enumerate([3, 4, 5, 6])]  # ids 0,8,16,24 → all shard 0 (n=8)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        text.pack_documents(df, budget=8, n_shards=8)
+        .toPandas().sort_values("doc_id")
+    )
+    assert list(out["shard_id"]) == [0, 0, 0, 0]
+    assert list(out["pack_offset"]) == [0, 3, 7, 4]  # 12 % 8 = 4
+    assert list(out["pack_id"]) == [0, 0, 0, 1]
+    # sharding: different ids land in their own shard windows
+    df2 = spark.createDataFrame(
+        [(0, "a b"), (1, "c d")], "doc_id long, text string"
+    )
+    p2 = text.pack_documents(df2, budget=8, n_shards=8).toPandas()
+    assert set(p2["shard_id"]) == {0, 1}
+    assert (p2["pack_offset"] == 0).all()
