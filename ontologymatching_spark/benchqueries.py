@@ -2159,6 +2159,149 @@ FROM pv
 """
 
 
+def q_iism_subprop_union(spark, sf_dir):
+    """The two IISM certainty rules (operators/iism.py;
+    IterativeInstanceStructuralMatcher.java:401 matchSubProperties, :757
+    matchUnionClasses) over the lev-blocked pairs: parent = decade-head of
+    the same parity with its decade-mates as subs; unions = the two lowest
+    same-parity doc ids of each 20-block. Union thresholds here (0.7/0.9)
+    are coverage-tuned so the rule fires on this corpus; the reference's
+    0.8/0.6 defaults are pinned by unit tests. Output: every new alignment
+    each rule infers, tagged by rule."""
+    from .operators.iism import (
+        subproperty_alignments,
+        union_class_alignments,
+    )
+
+    base = q_lev_blocked_pairs(spark, sf_dir).select(
+        F.col("src_doc_id").alias("src_id"),
+        F.col("dst_doc_id").alias("dst_id"),
+        F.col("lev_sim").alias("sim"),
+    )
+    d = load(spark, sf_dir, "documents")
+    parent = (F.floor(F.col("doc_id") / 10) * 10 + F.col("doc_id") % 2).cast(
+        "long"
+    )
+    subs = d.select(
+        parent.alias("parent_id"), F.col("doc_id").alias("sub_id")
+    ).filter(F.col("sub_id") != F.col("parent_id"))
+    sp = subs.filter(F.col("sub_id") % 2 == 0)
+    dp = subs.filter(F.col("sub_id") % 2 == 1)
+    unions = d.filter(F.pmod(F.col("doc_id"), F.lit(20)) < 4).select(
+        F.floor(F.col("doc_id") / 20).cast("long").alias("union_id"),
+        F.col("doc_id").alias("member_id"),
+    )
+    su = unions.filter(F.col("member_id") % 2 == 0)
+    du = unions.filter(F.col("member_id") % 2 == 1)
+    new_sub = subproperty_alignments(base, sp, dp, prop_thr=0.75).withColumn(
+        "rule", F.lit("subprop")
+    )
+    new_un = union_class_alignments(
+        base, su, du, strong_thr=0.7, weak_thr=0.9
+    ).withColumn("rule", F.lit("union"))
+    return new_sub.unionByName(new_un).select(
+        F.col("src_id").alias("src_doc_id"),
+        F.col("dst_id").alias("dst_doc_id"),
+        "rule",
+    )
+
+
+SQL_IISM_SUBPROP_UNION = f"""
+WITH base0 AS ({SQL_LEV_PAIRS}),
+base AS (SELECT src_doc_id AS src_id, dst_doc_id AS dst_id, lev_sim AS sim FROM base0),
+subs AS (
+  SELECT (doc_id // 10) * 10 + doc_id % 2 AS parent_id, doc_id AS sub_id
+  FROM documents WHERE doc_id <> (doc_id // 10) * 10 + doc_id % 2
+),
+sp AS (SELECT * FROM subs WHERE sub_id % 2 = 0),
+dp AS (SELECT * FROM subs WHERE sub_id % 2 = 1),
+aligned AS (SELECT DISTINCT src_id, dst_id FROM base WHERE sim >= 0.75),
+ns AS (SELECT parent_id, COUNT(*) AS n_s FROM sp GROUP BY 1),
+nd AS (SELECT parent_id, COUNT(*) AS n_d FROM dp GROUP BY 1),
+pp AS (
+  SELECT a.src_id AS s_parent, a.dst_id AS d_parent
+  FROM aligned a
+  JOIN ns ON ns.parent_id = a.src_id
+  JOIN nd ON nd.parent_id = a.dst_id
+  WHERE ns.n_s = nd.n_d
+),
+m AS (
+  SELECT pp.s_parent, pp.d_parent, sp.sub_id AS s_sub, dp.sub_id AS d_sub
+  FROM pp
+  JOIN sp ON sp.parent_id = pp.s_parent
+  JOIN dp ON dp.parent_id = pp.d_parent
+  JOIN aligned al ON al.src_id = sp.sub_id AND al.dst_id = dp.sub_id
+),
+ms AS (SELECT DISTINCT s_parent, d_parent, s_sub FROM m),
+md AS (SELECT DISTINCT s_parent, d_parent, d_sub FROM m),
+rs AS (
+  SELECT pp.s_parent, pp.d_parent, sp.sub_id AS s_sub,
+         row_number() OVER (PARTITION BY pp.s_parent, pp.d_parent
+                            ORDER BY sp.sub_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY pp.s_parent, pp.d_parent) AS cnt_s
+  FROM pp
+  JOIN sp ON sp.parent_id = pp.s_parent
+  LEFT JOIN ms ON ms.s_parent = pp.s_parent AND ms.d_parent = pp.d_parent
+             AND ms.s_sub = sp.sub_id
+  WHERE ms.s_sub IS NULL
+),
+rd AS (
+  SELECT pp.s_parent, pp.d_parent, dp.sub_id AS d_sub,
+         row_number() OVER (PARTITION BY pp.s_parent, pp.d_parent
+                            ORDER BY dp.sub_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY pp.s_parent, pp.d_parent) AS cnt_d
+  FROM pp
+  JOIN dp ON dp.parent_id = pp.d_parent
+  LEFT JOIN md ON md.s_parent = pp.s_parent AND md.d_parent = pp.d_parent
+             AND md.d_sub = dp.sub_id
+  WHERE md.d_sub IS NULL
+),
+new_sub AS (
+  SELECT DISTINCT rs.s_sub AS src_id, rd.d_sub AS dst_id
+  FROM rs JOIN rd ON rd.s_parent = rs.s_parent AND rd.d_parent = rs.d_parent
+                 AND rd.rk = rs.rk
+  WHERE rs.cnt_s = rd.cnt_d
+),
+un AS (
+  SELECT doc_id // 20 AS union_id, doc_id AS member_id
+  FROM documents WHERE doc_id % 20 < 4
+),
+two_s AS (
+  SELECT union_id, MIN(member_id) AS m0, MAX(member_id) AS m1
+  FROM (SELECT DISTINCT union_id, member_id FROM un WHERE member_id % 2 = 0)
+  GROUP BY union_id HAVING COUNT(*) = 2
+),
+two_d AS (
+  SELECT union_id, MIN(member_id) AS m0, MAX(member_id) AS m1
+  FROM (SELECT DISTINCT union_id, member_id FROM un WHERE member_id % 2 = 1)
+  GROUP BY union_id HAVING COUNT(*) = 2
+),
+sm AS (SELECT m0 AS src_id, m1 AS other_src FROM two_s
+       UNION ALL SELECT m1, m0 FROM two_s),
+dm AS (SELECT m0 AS dst_id, m1 AS other_dst FROM two_d
+       UNION ALL SELECT m1, m0 FROM two_d),
+strong AS (SELECT src_id, dst_id FROM base WHERE sim > 0.7),
+cand AS (
+  SELECT DISTINCT sm.other_src, dm.other_dst
+  FROM strong JOIN sm USING (src_id) JOIN dm USING (dst_id)
+),
+rowmax AS (SELECT src_id, MAX(sim) AS rmax FROM base GROUP BY 1),
+colmax AS (SELECT dst_id, MAX(sim) AS cmax FROM base GROUP BY 1),
+new_un AS (
+  SELECT DISTINCT cand.other_src AS src_id, cand.other_dst AS dst_id
+  FROM cand
+  LEFT JOIN rowmax ON rowmax.src_id = cand.other_src
+  LEFT JOIN colmax ON colmax.dst_id = cand.other_dst
+  WHERE COALESCE(rmax, 0.0) < 0.9 AND COALESCE(cmax, 0.0) < 0.9
+)
+SELECT src_id AS src_doc_id, dst_id AS dst_doc_id, 'subprop' AS rule
+FROM new_sub
+UNION ALL
+SELECT src_id AS src_doc_id, dst_id AS dst_doc_id, 'union' AS rule
+FROM new_un
+"""
+
+
 def q_disagreement_variance(spark, sf_dir):
     """Matcher-disagreement metric (VarianceDisagreement.java:30-62,
     VarianceComputation.java:20-50): per-pair population variance of the
@@ -3154,7 +3297,9 @@ ex AS (
   FROM nc, unnest(range(0, k)) AS u(i)
 )
 SELECT doc_id, chunk_idx,
-       len(string_split(chunk_text, ' '))::BIGINT AS n_chunk_tokens,
+       CASE WHEN length(chunk_text) = 0 THEN 0
+            ELSE len(string_split(chunk_text, ' ')) END::BIGINT
+         AS n_chunk_tokens,
        md5(chunk_text) AS chunk_md5
 FROM ex
 """
@@ -3800,20 +3945,30 @@ def q_ufl_quality(spark, sf_dir):
     m = revalidation_rate(m, "pos", "neg")
     m = user_disagreement(m, "pos", "neg").drop(*_STATS_COLS)
     ic = intra_coupling(p, "src_doc_id", "dst_doc_id", "sim")
+
+    # floor(x*1e6)/1e6, NOT round(x, 6): the integer-ratio metrics
+    # (cross_count over mrc+mcc, consensus over 3, revalidation_rate over
+    # maxrep, ...) can land exactly on a .5 tie at the 6th decimal for
+    # power-of-two denominators, where Spark HALF_UP and DuckDB may split —
+    # the repo's documented MSSG/flooding convention (applied uniformly to
+    # every metric column here; all are >= 0 so floor is well-defined).
+    def _f6(c):
+        return F.floor(F.col(c) * 1e6) / 1e6
+
     return m.crossJoin(F.broadcast(ic)).select(
         "src_doc_id", "dst_doc_id", "pos", "neg",
-        F.round("sim", 6).alias("sim"),
-        F.round("cross_count", 6).alias("cross_count"),
-        F.round("cross_sum", 6).alias("cross_sum"),
-        F.round("definiteness", 6).alias("definiteness"),
-        F.round("mm_confidence", 6).alias("mm_confidence"),
-        F.round("sim_distance", 6).alias("sim_distance"),
-        F.round("consensus", 6).alias("consensus"),
-        F.round("expanded_consensus", 6).alias("expanded_consensus"),
-        F.round("propagation_impact", 6).alias("propagation_impact"),
-        F.round("revalidation_rate", 6).alias("revalidation_rate"),
-        F.round("user_disagreement", 6).alias("user_disagreement"),
-        F.round("intra_coupling", 6).alias("intra_coupling"),
+        _f6("sim").alias("sim"),
+        _f6("cross_count").alias("cross_count"),
+        _f6("cross_sum").alias("cross_sum"),
+        _f6("definiteness").alias("definiteness"),
+        _f6("mm_confidence").alias("mm_confidence"),
+        _f6("sim_distance").alias("sim_distance"),
+        _f6("consensus").alias("consensus"),
+        _f6("expanded_consensus").alias("expanded_consensus"),
+        _f6("propagation_impact").alias("propagation_impact"),
+        _f6("revalidation_rate").alias("revalidation_rate"),
+        _f6("user_disagreement").alias("user_disagreement"),
+        _f6("intra_coupling").alias("intra_coupling"),
     )
 
 
@@ -3899,29 +4054,29 @@ ic AS (
   )
 )
 SELECT nb.src_doc_id, nb.dst_doc_id, nb.pos, nb.neg,
-  ROUND(nb.sim, 6) AS sim,
-  ROUND((rc.rc + cc.cc)::DOUBLE / (norms.mrc + norms.mcc), 6) AS cross_count,
-  ROUND((rs.rs + cs.cs) / (norms.mrs + norms.mcs), 6) AS cross_sum,
-  ROUND(2.0 * ABS(nb.sim - 0.5), 6) AS definiteness,
-  ROUND((ABS(0.7 - nb.sim_lev) + ABS(0.7 - nb.sim_qgram) + ABS(0.7 - nb.sim_dice)) / 3.0, 6) AS mm_confidence,
-  ROUND(LEAST(nb.rmin, nb.cmin,
+  FLOOR(nb.sim * 1e6) / 1e6 AS sim,
+  FLOOR((rc.rc + cc.cc)::DOUBLE / (norms.mrc + norms.mcc) * 1e6) / 1e6 AS cross_count,
+  FLOOR((rs.rs + cs.cs) / (norms.mrs + norms.mcs) * 1e6) / 1e6 AS cross_sum,
+  FLOOR(2.0 * ABS(nb.sim - 0.5) * 1e6) / 1e6 AS definiteness,
+  FLOOR((ABS(0.7 - nb.sim_lev) + ABS(0.7 - nb.sim_qgram) + ABS(0.7 - nb.sim_dice)) / 3.0 * 1e6) / 1e6 AS mm_confidence,
+  FLOOR(LEAST(nb.rmin, nb.cmin,
               CASE WHEN rc.rc < norms.ndst THEN ABS(nb.sim) ELSE 1e9 END,
-              CASE WHEN cc.cc < norms.nsrc THEN ABS(nb.sim) ELSE 1e9 END), 6) AS sim_distance,
-  ROUND(CASE WHEN nb.pos = nb.neg THEN 0.0
+              CASE WHEN cc.cc < norms.nsrc THEN ABS(nb.sim) ELSE 1e9 END) * 1e6) / 1e6 AS sim_distance,
+  FLOOR(CASE WHEN nb.pos = nb.neg THEN 0.0
              WHEN nb.pos = 3 OR nb.neg = 3 THEN 1.0
-             ELSE ABS(nb.pos - nb.neg)::DOUBLE / 3.0 END, 6) AS consensus,
-  ROUND(CASE WHEN p2 = n2 THEN 0.0
+             ELSE ABS(nb.pos - nb.neg)::DOUBLE / 3.0 END * 1e6) / 1e6 AS consensus,
+  FLOOR(CASE WHEN p2 = n2 THEN 0.0
              WHEN p2 = 3 OR n2 = 3 THEN 1.0
-             ELSE ABS(p2 - n2)::DOUBLE / 3.0 END, 6) AS expanded_consensus,
-  ROUND(CASE WHEN nb.pos = 3 OR nb.neg = 3 THEN 0.0
+             ELSE ABS(p2 - n2)::DOUBLE / 3.0 END * 1e6) / 1e6 AS expanded_consensus,
+  FLOOR(CASE WHEN nb.pos = 3 OR nb.neg = 3 THEN 0.0
              ELSE LEAST(3 - nb.pos, 3 - nb.neg)::DOUBLE
-                  / GREATEST(3 - nb.pos, 3 - nb.neg) END, 6) AS propagation_impact,
-  ROUND((nb.pos + nb.neg)::DOUBLE / norms.maxrep, 6) AS revalidation_rate,
-  ROUND(CASE WHEN nb.pos + nb.neg = 0 THEN 0.0
+                  / GREATEST(3 - nb.pos, 3 - nb.neg) END * 1e6) / 1e6 AS propagation_impact,
+  FLOOR((nb.pos + nb.neg)::DOUBLE / norms.maxrep * 1e6) / 1e6 AS revalidation_rate,
+  FLOOR(CASE WHEN nb.pos + nb.neg = 0 THEN 0.0
              ELSE 4.0 * nb.pos * nb.neg
                   / ((nb.pos + nb.neg)::DOUBLE * (nb.pos + nb.neg)::DOUBLE)
-        END, 6) AS user_disagreement,
-  ROUND(ic.intra_coupling, 6) AS intra_coupling
+        END * 1e6) / 1e6 AS user_disagreement,
+  FLOOR(ic.intra_coupling * 1e6) / 1e6 AS intra_coupling
 FROM (
   SELECT *,
     CASE WHEN pos + neg = 1 AND sim > 0.7 THEN pos + 1 ELSE pos END AS p2,
@@ -3991,6 +4146,7 @@ QUERIES = {
     "alignment_delta": q_alignment_delta,
     "order_preservation": q_order_preservation,
     "iism_boosted_pairs": q_iism_boosted_pairs,
+    "iism_subprop_union": q_iism_subprop_union,
     "joslyn_distance_quality": q_joslyn_distance_quality,
     "one_to_one_full": q_one_to_one_full,
     "similarity_flooding_docs": q_similarity_flooding_docs,
@@ -4059,6 +4215,7 @@ ORACLE_SQL = {
     "alignment_delta": SQL_ALIGN_DELTA,
     "order_preservation": SQL_ORDER_PRESERVATION,
     "iism_boosted_pairs": SQL_IISM,
+    "iism_subprop_union": SQL_IISM_SUBPROP_UNION,
     "joslyn_distance_quality": SQL_JOSLYN,
     "one_to_one_full": SQL_ONE_TO_ONE,
     "similarity_flooding_docs": SQL_SF_DOCS,

@@ -18,6 +18,16 @@ Code-graft rule families (reference provenance per rule):
                      size.
   values rule        (matchPropertyValues :324-373): sim_pv = |V1 ∩ V2| /
                      max(|V1|, |V2|) over distinct value sets.
+  subproperties rule (matchSubProperties :401-489): for aligned parent
+                     pairs with EQUAL nonzero sub-set sizes, remove
+                     already-aligned sub pairs; the remaining unaligned
+                     subs are aligned positionally (rank-zip by id) at
+                     sim 1.0.
+  unionclasses rule  (matchUnionClasses :757-930): for 2-member union
+                     classes whose one member pair is strongly aligned
+                     (> strong_thr) while the complementary members are
+                     weakly aligned on both sides (row/col max <
+                     weak_thr), align the complementary pair at 1.0.
 
 Boosts are multiplicative toward 1.0: sim' = sim + boost*(1-sim), mirroring
 the reference's boost* parameters (thresholds .5-.89,
@@ -27,7 +37,7 @@ OAEI2011Matcher.java:209-231; the reference sets boosted sims straight to
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -193,6 +203,139 @@ def values_sim(
     )
 
 
+def subproperty_alignments(
+    pairs: DataFrame,
+    src_subs: DataFrame,
+    dst_subs: DataFrame,
+    prop_thr: float = 0.75,
+    sim_col: str = "sim",
+) -> DataFrame:
+    """New (src_id, dst_id) sub-entity alignments implied by aligned
+    parents (matchSubProperties :401-489).
+
+    For every aligned parent pair (sim >= ``prop_thr``) whose sub-sets
+    have EQUAL nonzero size, sub pairs already aligned above the threshold
+    are removed; if the same number of subs remains unaligned on both
+    sides, the remainders are aligned positionally. The reference removes
+    greedily in index order and assigns >1 remainders by optimal
+    range/domain assignment (Utils.optimalAlignments); here removal is by
+    set membership (identical when the over-threshold cells are 1-1, as
+    they are after any selection stage) and >1 remainders rank-zip by id —
+    the repo's documented deterministic-deviation convention for
+    oversized blocks. ``*_subs``: (parent_id, sub_id)."""
+    aligned = pairs.filter(F.col(sim_col) >= prop_thr).select(
+        "src_id", "dst_id"
+    )
+    ss = src_subs.select(
+        F.col("parent_id").alias("s_parent"), F.col("sub_id").alias("s_sub")
+    ).distinct()
+    ds = dst_subs.select(
+        F.col("parent_id").alias("d_parent"), F.col("sub_id").alias("d_sub")
+    ).distinct()
+    ns = ss.groupBy("s_parent").agg(F.count(F.lit(1)).alias("n_s"))
+    nd = ds.groupBy("d_parent").agg(F.count(F.lit(1)).alias("n_d"))
+    pp = (
+        aligned.select(
+            F.col("src_id").alias("s_parent"), F.col("dst_id").alias("d_parent")
+        )
+        .join(ns, "s_parent")
+        .join(nd, "d_parent")
+        .filter(F.col("n_s") == F.col("n_d"))
+        .select("s_parent", "d_parent")
+    )
+    al = aligned.select(
+        F.col("src_id").alias("s_sub"), F.col("dst_id").alias("d_sub")
+    )
+    # sub cells per parent pair that are themselves aligned — blocks are
+    # tiny (a parent's direct subs), so the per-block cross join is bounded
+    block = pp.join(ss, "s_parent").join(ds, "d_parent")
+    m = block.join(al, ["s_sub", "d_sub"])
+    ms = m.select("s_parent", "d_parent", "s_sub").distinct()
+    md = m.select("s_parent", "d_parent", "d_sub").distinct()
+    ws = Window.partitionBy("s_parent", "d_parent")
+    rs = (
+        pp.join(ss, "s_parent")
+        .join(ms, ["s_parent", "d_parent", "s_sub"], "left_anti")
+        .withColumn("rk", F.row_number().over(ws.orderBy(F.col("s_sub").asc())))
+        .withColumn("cnt_s", F.count(F.lit(1)).over(ws))
+    )
+    rd = (
+        pp.join(ds, "d_parent")
+        .join(md, ["s_parent", "d_parent", "d_sub"], "left_anti")
+        .withColumn("rk", F.row_number().over(ws.orderBy(F.col("d_sub").asc())))
+        .withColumn("cnt_d", F.count(F.lit(1)).over(ws))
+    )
+    return (
+        rs.join(rd, ["s_parent", "d_parent", "rk"])
+        .filter(F.col("cnt_s") == F.col("cnt_d"))
+        .select(
+            F.col("s_sub").alias("src_id"), F.col("d_sub").alias("dst_id")
+        )
+        .distinct()
+    )
+
+
+def union_class_alignments(
+    pairs: DataFrame,
+    src_unions: DataFrame,
+    dst_unions: DataFrame,
+    strong_thr: float = 0.8,
+    weak_thr: float = 0.6,
+    sim_col: str = "sim",
+) -> DataFrame:
+    """New (src_id, dst_id) alignments implied by 2-member union classes
+    (matchUnionClasses :757-930 + matchUnionClassMember): when one member
+    pair of a (source union, target union) pair is strongly aligned
+    (sim > ``strong_thr``) and the complementary members are weakly
+    aligned on both sides (row max and col max < ``weak_thr``), the
+    complementary pair is aligned at 1.0. All four member-pair
+    orientations (ULAS1-4) fall out of the member/other construction.
+    ``*_unions``: (union_id, member_id); unions with more than two
+    members are skipped (the reference returns on size > 2)."""
+
+    def members(unions: DataFrame, m: str, o: str) -> DataFrame:
+        two = (
+            unions.select("union_id", "member_id")
+            .distinct()
+            .groupBy("union_id")
+            .agg(
+                F.min("member_id").alias("m0"),
+                F.max("member_id").alias("m1"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .filter(F.col("n") == 2)
+        )
+        return two.select(F.col("m0").alias(m), F.col("m1").alias(o)).union(
+            two.select(F.col("m1").alias(m), F.col("m0").alias(o))
+        )
+
+    sm = members(src_unions, "src_id", "other_src")
+    dm = members(dst_unions, "dst_id", "other_dst")
+    strong = pairs.filter(F.col(sim_col) > strong_thr).select(
+        "src_id", "dst_id"
+    )
+    cand = (
+        strong.join(sm, "src_id").join(dm, "dst_id")
+        .select("other_src", "other_dst")
+        .distinct()
+    )
+    rowmax = pairs.groupBy("src_id").agg(F.max(sim_col).alias("rmax"))
+    colmax = pairs.groupBy("dst_id").agg(F.max(sim_col).alias("cmax"))
+    return (
+        cand.join(rowmax, cand.other_src == rowmax.src_id, "left")
+        .join(colmax, cand.other_dst == colmax.dst_id, "left")
+        .filter(
+            (F.coalesce(F.col("rmax"), F.lit(0.0)) < weak_thr)
+            & (F.coalesce(F.col("cmax"), F.lit(0.0)) < weak_thr)
+        )
+        .select(
+            F.col("other_src").alias("src_id"),
+            F.col("other_dst").alias("dst_id"),
+        )
+        .distinct()
+    )
+
+
 def iism(
     pairs: DataFrame,
     src_parents: DataFrame,
@@ -211,6 +354,14 @@ def iism(
     rd_thr: float = 0.85,
     use_thr: float = 0.6,
     pv_thr: float = 0.5,
+    src_subs: DataFrame | None = None,
+    dst_subs: DataFrame | None = None,
+    sub_thr: float = 0.75,
+    src_unions: DataFrame | None = None,
+    dst_unions: DataFrame | None = None,
+    union_strong: float = 0.8,
+    union_weak: float = 0.6,
+    certainty_boost: float = 1.0,
 ) -> DataFrame:
     """pairs(src_id, dst_id, sim) → same with refined sim (sim_iism).
 
@@ -323,6 +474,47 @@ def iism(
             cur = cur.withColumn(
                 "sim", _boost(F.col("sim"), F.col("sim_pv") >= pv_thr, boost)
             ).select("src_id", "dst_id", F.col("sim").alias("sim_iism"))
+
+        # subproperties rule (certainty rule — the reference writes 1.0)
+        if src_subs is not None and dst_subs is not None:
+            new_sub = subproperty_alignments(
+                cur, src_subs, dst_subs, prop_thr=sub_thr, sim_col="sim_iism"
+            ).withColumn("sub_rule", F.lit(True))
+            cur = (
+                cur.join(new_sub, ["src_id", "dst_id"], "left")
+                .withColumn(
+                    "sim_iism",
+                    _boost(
+                        F.col("sim_iism"),
+                        F.coalesce(F.col("sub_rule"), F.lit(False)),
+                        certainty_boost,
+                    ),
+                )
+                .drop("sub_rule")
+            )
+
+        # unionclasses rule (certainty rule). Both certainty rules boost
+        # candidate pairs already present in the sparse pair table — the
+        # reference writes arbitrary matrix cells; a blocked pair table
+        # only carries candidate cells (documented deviation: recall of
+        # the blocking stage bounds which cells exist).
+        if src_unions is not None and dst_unions is not None:
+            new_un = union_class_alignments(
+                cur, src_unions, dst_unions, strong_thr=union_strong,
+                weak_thr=union_weak, sim_col="sim_iism",
+            ).withColumn("union_rule", F.lit(True))
+            cur = (
+                cur.join(new_un, ["src_id", "dst_id"], "left")
+                .withColumn(
+                    "sim_iism",
+                    _boost(
+                        F.col("sim_iism"),
+                        F.coalesce(F.col("union_rule"), F.lit(False)),
+                        certainty_boost,
+                    ),
+                )
+                .drop("union_rule")
+            )
 
         cur = cur.localCheckpoint()
     return pairs.join(cur, ["src_id", "dst_id"]).select(

@@ -252,6 +252,8 @@ def _avi_frames(payload: bytes):
 
     width = height = n_frames = None
     scale = rate = None
+    bit_count = compression = None
+    in_vids_strl = False
     frames = []
     for fourcc, data_off, size in chunks(payload, 12, len(payload)):
         if fourcc != b"LIST":
@@ -264,6 +266,7 @@ def _avi_frames(payload: bytes):
                     hdr = struct.unpack("<14I", payload[off2:off2 + 56])
                     n_frames, width, height = hdr[4], hdr[8], hdr[9]
                 elif fc2 == b"LIST" and payload[off2:off2 + 4] == b"strl":
+                    in_vids_strl = False
                     for fc3, off3, sz3 in chunks(payload, off2 + 4,
                                                  off2 + sz2):
                         if fc3 == b"strh":
@@ -272,13 +275,32 @@ def _avi_frames(payload: bytes):
                             )
                             if sh[0] == b"vids":
                                 scale, rate = sh[6], sh[7]
+                                in_vids_strl = True
+                        elif fc3 == b"strf" and in_vids_strl and sz3 >= 40:
+                            # BITMAPINFOHEADER: biBitCount @ off 14 (H),
+                            # biCompression @ off 16 (I)
+                            bit_count, compression = struct.unpack(
+                                "<HI", payload[off3 + 14:off3 + 20]
+                            )
         elif list_type == b"movi":
             for fc2, off2, sz2 in chunks(payload, data_off + 4,
                                          data_off + size):
-                if fc2 in (b"00db", b"00dc"):
+                if fc2 == b"00dc":
+                    raise ValueError(
+                        "AVI contains compressed '00dc' frame chunks; only "
+                        "uncompressed-DIB '00db' streams are decodable here"
+                    )
+                if fc2 == b"00db":
                     frames.append((off2, sz2))
     if width is None or not frames:
         raise ValueError("AVI missing avih header or movi frames")
+    if bit_count is None or compression is None:
+        raise ValueError("AVI missing vids strf BITMAPINFOHEADER")
+    if compression != 0 or bit_count != 24:
+        raise ValueError(
+            f"AVI stream is not uncompressed 24-bit DIB (biBitCount="
+            f"{bit_count}, biCompression={compression})"
+        )
     row_bytes = width * 3
     stride = row_bytes + ((-row_bytes) % 4)
     lumas = []
@@ -580,18 +602,31 @@ def extract_features(
                     ]
                     feat = [base[i % len(base)] for i in range(dim)]
                 elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-                    # REAL decode: struct+numpy AVI walk → motion feature
-                    st = _avi_stats(payload)
-                    diag = max((st["width"] ** 2 + st["height"] ** 2) ** 0.5,
-                               1.0)
-                    base = [
-                        st["luma_mean"] / 255.0, st["motion"] / 255.0,
-                        st["n_frames"] / 512.0, st["fps"] / 120.0,
-                        st["duration_ms"] / 60000.0,
-                        st["width"] / 4096.0, st["height"] / 4096.0,
-                        diag / 5793.0,
-                    ]
-                    feat = [base[i % len(base)] for i in range(dim)]
+                    # REAL decode: struct+numpy AVI walk → motion feature.
+                    # With fake_decode=True a compressed/malformed AVI falls
+                    # back to the content-hash stand-in instead of raising,
+                    # so the stand-in covers every codec the container can't
+                    # decode (not just non-RIFF payloads).
+                    try:
+                        st = _avi_stats(payload)
+                    except ValueError:
+                        if not fake_decode:
+                            raise
+                        st = None
+                    if st is None:
+                        feat = _fake_feature(payload, dim)
+                    else:
+                        diag = max(
+                            (st["width"] ** 2 + st["height"] ** 2) ** 0.5,
+                            1.0)
+                        base = [
+                            st["luma_mean"] / 255.0, st["motion"] / 255.0,
+                            st["n_frames"] / 512.0, st["fps"] / 120.0,
+                            st["duration_ms"] / 60000.0,
+                            st["width"] / 4096.0, st["height"] / 4096.0,
+                            diag / 5793.0,
+                        ]
+                        feat = [base[i % len(base)] for i in range(dim)]
                 elif fake_decode:
                     feat = _fake_feature(payload, dim)
                 else:

@@ -305,8 +305,11 @@ def chunk_documents(df: DataFrame, max_tokens: int = 512, overlap: int = 64,
     )
     return out.select(
         id_col, "chunk_idx",
-        F.size(F.split(F.col("chunk_text"), " ")).cast("long")
-        .alias("n_chunk_tokens"),
+        # empty/whitespace-only docs emit one empty chunk whose token count
+        # must be 0, not 1 (split('', ' ') yields [''])
+        F.when(F.length("chunk_text") == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.col("chunk_text"), " ")))
+        .cast("long").alias("n_chunk_tokens"),
         "chunk_text",
     )
 

@@ -613,3 +613,83 @@ def test_pack_documents(spark):
     p2 = text.pack_documents(df2, budget=8, n_shards=8).toPandas()
     assert set(p2["shard_id"]) == {0, 1}
     assert (p2["pack_offset"] == 0).all()
+
+
+def test_avi_strf_and_00dc_validation(spark):
+    """The AVI walker validates the strf BITMAPINFOHEADER (must be
+    uncompressed 24-bit DIB) and rejects compressed '00dc' frame chunks;
+    extract_features(fake_decode=True) falls back to the content-hash
+    stand-in for such payloads instead of raising."""
+    import struct as _s
+
+    from ontologymatching_spark.operators.multimodal import (
+        _avi_frames, _fake_feature, make_avi_bytes,
+    )
+
+    def chunk(fcc, data):
+        return fcc + _s.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) % 2 else b""
+        )
+
+    def lst(t, data):
+        return chunk(b"LIST", t + data)
+
+    def build(bpp=24, compression=0, frame_fcc=b"00db"):
+        # 1x1 "frame" padded to a 4-byte stride — big enough to pass the
+        # old size-only check even when the header lies about the codec
+        frame = b"\x10\x20\x30\x00"
+        avih = _s.pack("<14I", 100000, 0, 0, 0, 1, 0, 1, 4, 1, 1, 0, 0, 0, 0)
+        strh = _s.pack("<4s4sIHH8I4h", b"vids", b"DIB ", 0, 0, 0, 0, 1, 10,
+                       0, 1, 4, 0, 0, 0, 0, 1, 1)
+        strf = _s.pack("<IiiHHIIiiII", 40, 1, 1, 1, bpp, compression, 4,
+                       2835, 2835, 0, 0)
+        body = (b"AVI "
+                + lst(b"hdrl", chunk(b"avih", avih)
+                      + lst(b"strl",
+                            chunk(b"strh", strh) + chunk(b"strf", strf)))
+                + lst(b"movi", chunk(frame_fcc, frame)))
+        return b"RIFF" + _s.pack("<I", len(body)) + body
+
+    # well-formed baseline decodes
+    w, h, _, _, lumas = _avi_frames(build())
+    assert (w, h, len(lumas)) == (1, 1, 1)
+    # 32-bpp strf → rejected even though the frame passes the size check
+    with pytest.raises(ValueError, match="24-bit"):
+        _avi_frames(build(bpp=32))
+    # compressed fourcc in strf → rejected
+    with pytest.raises(ValueError, match="biCompression"):
+        _avi_frames(build(compression=0x44495658))  # 'XVID'
+    # compressed '00dc' frame chunk → rejected
+    with pytest.raises(ValueError, match="00dc"):
+        _avi_frames(build(frame_fcc=b"00dc"))
+    # missing strf → rejected (header-less streams can't be validated)
+    gen = make_avi_bytes(2, 2, n_frames=1)
+    _avi_frames(gen)  # generator output still round-trips
+
+    bad = build(bpp=32)
+    media = spark.createDataFrame(
+        [(0, "video", "video/x-msvideo", bytearray(bad), 1, 1, 100)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    # fake_decode=False surfaces the error
+    with pytest.raises(Exception):
+        multimodal.extract_features(media, dim=8, fake_decode=False).count()
+    # fake_decode=True covers undecodable AVIs with the hash stand-in
+    row = multimodal.extract_features(
+        media, dim=8, fake_decode=True
+    ).collect()[0]
+    expect = ",".join(f"{v:.6f}" for v in _fake_feature(bad, 8))
+    assert row.feature == expect
+
+
+def test_chunk_empty_doc_token_count(spark):
+    """Empty/whitespace-only docs emit one chunk with n_chunk_tokens=0
+    (split('', ' ') yields [''] — the count must not report 1)."""
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "one two")], "doc_id long, text string"
+    )
+    out = text.chunk_documents(df, max_tokens=4, overlap=2).toPandas()
+    by_id = out.set_index("doc_id")
+    assert by_id.loc[0, "n_chunk_tokens"] == 0
+    assert by_id.loc[1, "n_chunk_tokens"] == 0
+    assert by_id.loc[2, "n_chunk_tokens"] == 2

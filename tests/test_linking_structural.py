@@ -326,3 +326,124 @@ def test_iism_driver_applies_new_rules(spark, family):
     assert d[(1, 11)] == pytest.approx(0.872)
     # (2,12): values disjoint → only parent boost: 0.52
     assert d[(2, 12)] == pytest.approx(0.52)
+
+
+def test_iism_subproperty_rule(spark):
+    """matchSubProperties (:401-489): aligned parents with equal-size sub
+    sets align their single unaligned remainder at 1.0; multi-remainder
+    blocks rank-zip; unequal-size sub sets never fire."""
+    from ontologymatching_spark.operators import iism as iism_mod
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                # parents (100,110) aligned at 0.9; subs of 100 = {1,2},
+                # subs of 110 = {11,12}; (1,11) aligned at 0.8 → remaining
+                # (2,12) must be aligned by the rule
+                "src_id": [100, 1, 2],
+                "dst_id": [110, 11, 12],
+                "sim": [0.9, 0.8, 0.3],
+            }
+        )
+    )
+    sp = spark.createDataFrame(
+        pd.DataFrame({"parent_id": [100, 100], "sub_id": [1, 2]})
+    )
+    dp = spark.createDataFrame(
+        pd.DataFrame({"parent_id": [110, 110], "sub_id": [11, 12]})
+    )
+    new = iism_mod.subproperty_alignments(pairs, sp, dp, prop_thr=0.75)
+    assert [(r.src_id, r.dst_id) for r in new.collect()] == [(2, 12)]
+
+    # wired through the driver: (2,12) gets the certainty boost to 1.0
+    parents = spark.createDataFrame(
+        pd.DataFrame({"child_id": [], "parent_id": []}),
+        "child_id long, parent_id long",
+    )
+    out = iism_mod.iism(
+        pairs, parents, parents, rounds=1, boost=0.0,
+        src_subs=sp, dst_subs=dp, sub_thr=0.75,
+    ).toPandas()
+    d = dict(zip(zip(out["src_id"], out["dst_id"]), out["sim_iism"]))
+    assert d[(2, 12)] == pytest.approx(1.0)
+    assert d[(1, 11)] == pytest.approx(0.8)
+
+    # unequal sub-set sizes → the rule must not fire
+    dp3 = spark.createDataFrame(
+        pd.DataFrame({"parent_id": [110, 110, 110], "sub_id": [11, 12, 13]})
+    )
+    assert iism_mod.subproperty_alignments(pairs, sp, dp3).count() == 0
+
+    # two unaligned remainders on each side rank-zip by id
+    pairs2 = spark.createDataFrame(
+        pd.DataFrame(
+            {"src_id": [100], "dst_id": [110], "sim": [0.9]}
+        )
+    )
+    new2 = iism_mod.subproperty_alignments(pairs2, sp, dp, prop_thr=0.75)
+    assert sorted((r.src_id, r.dst_id) for r in new2.collect()) == [
+        (1, 11), (2, 12)
+    ]
+
+
+def test_iism_unionclass_rule(spark):
+    """matchUnionClasses (:757-930): strong member pair (>0.8) + weakly
+    aligned complementary members (row/col max < 0.6) → complementary
+    pair aligned at 1.0; all four orientations; >2-member unions skip."""
+    from ontologymatching_spark.operators import iism as iism_mod
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                # union S = {1,2}, union T = {11,12}; (1,11) strong at 0.9;
+                # 2's row max = 0.3 < 0.6, 12's col max = 0.3 < 0.6 → fire
+                "src_id": [1, 2],
+                "dst_id": [11, 12],
+                "sim": [0.9, 0.3],
+            }
+        )
+    )
+    su = spark.createDataFrame(
+        pd.DataFrame({"union_id": [7, 7], "member_id": [1, 2]})
+    )
+    du = spark.createDataFrame(
+        pd.DataFrame({"union_id": [9, 9], "member_id": [11, 12]})
+    )
+    new = iism_mod.union_class_alignments(pairs, su, du)
+    assert [(r.src_id, r.dst_id) for r in new.collect()] == [(2, 12)]
+
+    # complementary member already well-aligned (>= 0.6) → no fire
+    pairs2 = spark.createDataFrame(
+        pd.DataFrame(
+            {"src_id": [1, 2], "dst_id": [11, 12], "sim": [0.9, 0.7]}
+        )
+    )
+    assert iism_mod.union_class_alignments(pairs2, su, du).count() == 0
+
+    # cross orientation: strong (1,12) → candidate (2,11)
+    pairs3 = spark.createDataFrame(
+        pd.DataFrame(
+            {"src_id": [1, 2], "dst_id": [12, 11], "sim": [0.9, 0.2]}
+        )
+    )
+    new3 = iism_mod.union_class_alignments(pairs3, su, du)
+    assert [(r.src_id, r.dst_id) for r in new3.collect()] == [(2, 11)]
+
+    # 3-member union skipped (reference returns on size > 2)
+    su3 = spark.createDataFrame(
+        pd.DataFrame({"union_id": [7, 7, 7], "member_id": [1, 2, 3]})
+    )
+    assert iism_mod.union_class_alignments(pairs, su3, du).count() == 0
+
+    # wired through the driver
+    parents = spark.createDataFrame(
+        pd.DataFrame({"child_id": [], "parent_id": []}),
+        "child_id long, parent_id long",
+    )
+    out = iism_mod.iism(
+        pairs, parents, parents, rounds=1, boost=0.0,
+        src_unions=su, dst_unions=du,
+    ).toPandas()
+    d = dict(zip(zip(out["src_id"], out["dst_id"]), out["sim_iism"]))
+    assert d[(2, 12)] == pytest.approx(1.0)
+    assert d[(1, 11)] == pytest.approx(0.9)
