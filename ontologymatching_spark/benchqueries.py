@@ -4091,6 +4091,291 @@ CROSS JOIN norms CROSS JOIN ic
 """
 
 
+UFL_PROP_MOD = 509  # md5 pick of validated pairs: ~n_pairs/509 train rows
+
+from .operators.feedback import LN2  # noqa: E402 — shared log-base literal
+
+
+def q_ufl_propagation(spark, sf_dir):
+    """UFL feedback propagation (operators/feedback.propagate_feedback;
+    ServerFeedbackPropagation.java logDistance :246-306 and
+    qualityPropagation :320-377): user validations are an md5-picked
+    subset of the blocked-pair matrix (label = sim > 0.7); every other
+    cell moves toward/away from 1.0 by its nearest validated signature
+    (3-matcher ssv on the 2^-20 grid, broadcast train set, one argmin
+    groupBy — no shuffle of the wide matrix). Output: per pair the
+    original, log-propagated and quality-propagated sims."""
+    from .functions.spark_sims import (
+        dice_col,
+        jaccard_col,
+        lev_min_norm_col,
+        shingles_col,
+    )
+    from .operators.feedback import propagate_feedback
+    from pyspark.sql import Window
+
+    names = _doc_names(spark, sf_dir)
+    s = names.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("src_id"),
+        F.col("name").alias("s_name"), "block_key",
+    )
+    d = names.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("dst_id"),
+        F.col("name").alias("d_name"), "block_key",
+    )
+    grid = float(1 << 20)
+    p = (
+        s.join(d, "block_key")
+        .withColumn("sim_lev", lev_min_norm_col(F.col("s_name"), F.col("d_name")))
+        .withColumn(
+            "sim_qgram",
+            jaccard_col(shingles_col(F.col("s_name"), 3),
+                        shingles_col(F.col("d_name"), 3)),
+        )
+        .withColumn(
+            "sim_dice",
+            dice_col(F.split(F.col("s_name"), " "), F.split(F.col("d_name"), " ")),
+        )
+        .withColumn(
+            "sim",
+            F.floor(
+                (F.col("sim_lev") + F.col("sim_qgram") + F.col("sim_dice"))
+                / 3.0 * grid
+            ) / grid,
+        )
+        .filter(F.col("sim") > 0)
+        .select("src_id", "dst_id", "sim_lev", "sim_qgram", "sim_dice", "sim")
+        .localCheckpoint()  # train + 2 propagation passes fan out from it
+    )
+    key = F.concat_ws(
+        "_", F.col("src_id").cast("string"), F.col("dst_id").cast("string")
+    )
+    train = (
+        p.filter(_md5int_col(F.concat(F.lit("t_"), key)) % UFL_PROP_MOD == 0)
+        .withColumn(
+            "label", F.when(F.col("sim") > 0.7, 1.0).otherwise(0.0)
+        )
+        .withColumn(
+            "train_idx",
+            F.row_number().over(
+                Window.partitionBy(F.lit(1)).orderBy("src_id", "dst_id")
+            ),
+        )
+        .localCheckpoint()  # tiny; broadcast into both propagation passes
+    )
+    forb = train.select("src_id", "dst_id")
+    ssv = ["sim_lev", "sim_qgram", "sim_dice"]
+    out = propagate_feedback(
+        p, train, ssv, method="logdist", forbidden=forb,
+        out_col="sim_logdist",
+    )
+    out = out.withColumn("mq", 2.0 * F.abs(F.col("sim") - 0.5))
+    out = propagate_feedback(
+        out, train, ssv, method="quality", ts_quality=0.25,
+        mp_quality_col="mq", forbidden=forb, out_col="sim_quality",
+    )
+    f6 = lambda c: F.floor(F.col(c) * 1e6) / 1e6  # noqa: E731
+    return out.select(
+        F.col("src_id").alias("src_doc_id"),
+        F.col("dst_id").alias("dst_doc_id"),
+        f6("sim").alias("sim"),
+        f6("sim_logdist").alias("sim_logdist"),
+        f6("sim_quality").alias("sim_quality"),
+    )
+
+
+SQL_UFL_PROPAGATION = f"""
+WITH names AS ({_SQL_DOC_NAMES}),
+s AS (SELECT doc_id AS src_id, name AS s_name, block_key FROM names WHERE doc_id % 2 = 0),
+d AS (SELECT doc_id AS dst_id, name AS d_name, block_key FROM names WHERE doc_id % 2 = 1),
+sh AS (
+  SELECT src_id, dst_id, s_name, d_name,
+         CASE WHEN length(s_name) = 0 AND length(d_name) = 0 THEN 1.0
+              WHEN least(length(s_name), length(d_name)) = 0 THEN 0.0
+              ELSE 1.0 - least(levenshtein(s_name, d_name),
+                               least(length(s_name), length(d_name)))::DOUBLE
+                         / least(length(s_name), length(d_name))
+         END AS sim_lev
+  FROM s JOIN d USING (block_key)
+),
+gr AS (
+  SELECT *,
+    (CASE WHEN length(lower(s_name)) = 0 THEN []::VARCHAR[]
+          WHEN length(lower(s_name)) < 3 THEN [lower(s_name)]
+          ELSE list_transform(range(1, length(s_name) - 1), i -> substr(lower(s_name), i::INT, 3)) END) AS sg,
+    (CASE WHEN length(lower(d_name)) = 0 THEN []::VARCHAR[]
+          WHEN length(lower(d_name)) < 3 THEN [lower(d_name)]
+          ELSE list_transform(range(1, length(d_name) - 1), i -> substr(lower(d_name), i::INT, 3)) END) AS dg,
+    string_split(s_name, ' ') AS st, string_split(d_name, ' ') AS dt
+  FROM sh
+),
+sims AS (
+  SELECT src_id, dst_id, sim_lev,
+    CASE WHEN len(list_distinct(list_concat(list_distinct(sg), list_distinct(dg)))) = 0 THEN 1.0
+         ELSE len(list_intersect(list_distinct(sg), list_distinct(dg)))::DOUBLE
+              / len(list_distinct(list_concat(list_distinct(sg), list_distinct(dg))))
+    END AS sim_qgram,
+    CASE WHEN len(list_distinct(st)) + len(list_distinct(dt)) = 0 THEN 1.0
+         ELSE 2.0 * len(list_intersect(list_distinct(st), list_distinct(dt)))::DOUBLE
+              / (len(list_distinct(st)) + len(list_distinct(dt)))
+    END AS sim_dice
+  FROM gr
+),
+m AS MATERIALIZED (
+  SELECT src_id, dst_id, sim_lev, sim_qgram, sim_dice,
+         floor((sim_lev + sim_qgram + sim_dice) / 3.0 * {_UFL_GRID}) / {_UFL_GRID} AS sim,
+         floor(sim_lev * {_UFL_GRID}) / {_UFL_GRID} AS qa,
+         floor(sim_qgram * {_UFL_GRID}) / {_UFL_GRID} AS qb,
+         floor(sim_dice * {_UFL_GRID}) / {_UFL_GRID} AS qc
+  FROM sims
+  WHERE floor((sim_lev + sim_qgram + sim_dice) / 3.0 * {_UFL_GRID}) / {_UFL_GRID} > 0
+),
+train AS MATERIALIZED (
+  SELECT qa AS ta, qb AS tb, qc AS tc,
+         CASE WHEN sim > 0.7 THEN 1.0 ELSE 0.0 END AS label,
+         row_number() OVER (ORDER BY src_id, dst_id) AS train_idx,
+         src_id AS f_src, dst_id AS f_dst
+  FROM m
+  WHERE ('0x' || substr(md5('t_' || src_id::VARCHAR || '_' || dst_id::VARCHAR), 1, 8))::BIGINT % {UFL_PROP_MOD} = 0
+),
+nt AS (SELECT COUNT(*) AS n FROM train),
+nn AS (
+  SELECT src_id, dst_id, dist, label FROM (
+    SELECT m.src_id, m.dst_id, t.label, t.train_idx,
+           sqrt((qa - ta) * (qa - ta) + (qb - tb) * (qb - tb)
+                + (qc - tc) * (qc - tc)) AS dist,
+           row_number() OVER (PARTITION BY m.src_id, m.dst_id
+                              ORDER BY sqrt((qa - ta) * (qa - ta)
+                                            + (qb - tb) * (qb - tb)
+                                            + (qc - tc) * (qc - tc)) ASC,
+                                       t.train_idx ASC) AS rn
+    FROM m CROSS JOIN train t
+    WHERE qa <> 0 OR qb <> 0 OR qc <> 0
+  ) WHERE rn = 1
+),
+el AS (
+  SELECT nn.* FROM nn
+  LEFT JOIN train f ON f.f_src = nn.src_id AND f.f_dst = nn.dst_id
+  CROSS JOIN nt
+  WHERE f.f_src IS NULL AND nn.dist <= (nt.n - 1) * 3.0 / 100
+),
+upd AS (
+  SELECT m.src_id, m.dst_id, m.sim,
+    CASE WHEN el.dist IS NOT NULL THEN
+      GREATEST(0.0, LEAST(1.0,
+        CASE WHEN el.label = 1.0
+             THEN m.sim + floor(ln(2.0 - floor(el.dist * {_UFL_GRID}) / {_UFL_GRID}) / {LN2!r} * 1.2 * {_UFL_GRID}) / {_UFL_GRID}
+             ELSE m.sim - floor(ln(2.0 - floor(el.dist * {_UFL_GRID}) / {_UFL_GRID}) / {LN2!r} * 1.2 * {_UFL_GRID}) / {_UFL_GRID}
+        END))
+      ELSE m.sim END AS sim_logdist,
+    CASE WHEN elq.dist IS NOT NULL THEN
+      GREATEST(0.0, LEAST(1.0,
+        CASE WHEN elq.label = 1.0
+             THEN m.sim + 0.25 * (1.0 - (2.0 * ABS(m.sim - 0.5)) / 2.0)
+             ELSE m.sim - 0.25 * (1.0 - (2.0 * ABS(m.sim - 0.5)) / 2.0)
+        END))
+      ELSE m.sim END AS sim_quality
+  FROM m
+  LEFT JOIN el ON el.src_id = m.src_id AND el.dst_id = m.dst_id
+  LEFT JOIN (
+    SELECT nn.* FROM nn
+    LEFT JOIN train f ON f.f_src = nn.src_id AND f.f_dst = nn.dst_id
+    WHERE f.f_src IS NULL AND nn.dist <= 3 * 3.0 / 100
+  ) elq ON elq.src_id = m.src_id AND elq.dst_id = m.dst_id
+)
+SELECT src_id AS src_doc_id, dst_id AS dst_doc_id,
+       floor(sim * 1e6) / 1e6 AS sim,
+       floor(sim_logdist * 1e6) / 1e6 AS sim_logdist,
+       floor(sim_quality * 1e6) / 1e6 AS sim_quality
+FROM upd
+"""
+
+
+def q_fs_extrapolation(spark, sf_dir):
+    """ExtrapolatingFS (operators/feedback.extrapolate_fs;
+    ExtrapolatingFS.java:50-121 + FamilialSimilarity.java:151-169): strong
+    blocked pairs (lev >= 0.9) act as user validations; siblings = same-
+    decade same-parity docs with intra-side lev similarity; sibling pairs
+    whose familial sims agree within delta are extrapolated at 1.0
+    (0.3/0.1 here are coverage-tuned for this corpus; the reference's
+    threshold/0.01 defaults are pinned by unit tests)."""
+    from .functions.spark_sims import lev_min_norm_col
+    from .operators.feedback import extrapolate_fs
+
+    validated = q_lev_blocked_pairs(spark, sf_dir).filter(
+        F.col("lev_sim") >= 0.9
+    ).select(
+        F.col("src_doc_id").alias("src_id"),
+        F.col("dst_doc_id").alias("dst_id"),
+    )
+    names = _doc_names(spark, sf_dir)
+    dec = (F.floor(F.col("doc_id") / 10) * 10 + F.col("doc_id") % 2).cast(
+        "long"
+    )
+    n = names.select("doc_id", "name", dec.alias("family"))
+
+    def sibs(parity: int) -> DataFrame:
+        a = n.filter(F.col("doc_id") % 2 == parity).select(
+            F.col("doc_id").alias("entity_id"),
+            F.col("name").alias("e_name"), "family",
+        )
+        b = n.filter(F.col("doc_id") % 2 == parity).select(
+            F.col("doc_id").alias("sibling_id"),
+            F.col("name").alias("s_name"), "family",
+        )
+        return (
+            a.join(b, "family")
+            .filter(F.col("entity_id") != F.col("sibling_id"))
+            .select(
+                "entity_id", "sibling_id",
+                F.round(
+                    lev_min_norm_col(F.col("e_name"), F.col("s_name")), 6
+                ).alias("sim"),
+            )
+        )
+
+    return extrapolate_fs(
+        validated, sibs(0), sibs(1), threshold=0.3, delta=0.1
+    ).select(
+        F.col("src_id").alias("src_doc_id"),
+        F.col("dst_id").alias("dst_doc_id"),
+        F.col("sim").alias("sim"),
+    )
+
+
+SQL_FS_EXTRAPOLATION = f"""
+WITH base0 AS ({SQL_LEV_PAIRS}),
+validated AS (SELECT src_doc_id AS src_id, dst_doc_id AS dst_id
+              FROM base0 WHERE lev_sim >= 0.9),
+names AS ({_SQL_DOC_NAMES}),
+fam AS (SELECT doc_id, name, (doc_id // 10) * 10 + doc_id % 2 AS family
+        FROM names),
+sib AS (
+  SELECT a.doc_id AS entity_id, b.doc_id AS sibling_id, a.doc_id % 2 AS parity,
+         ROUND(CASE WHEN length(a.name) = 0 AND length(b.name) = 0 THEN 1.0
+              WHEN least(length(a.name), length(b.name)) = 0 THEN 0.0
+              ELSE 1.0 - least(levenshtein(a.name, b.name),
+                               least(length(a.name), length(b.name)))::DOUBLE
+                         / least(length(a.name), length(b.name))
+         END, 6) AS sim
+  FROM fam a JOIN fam b ON a.family = b.family AND a.doc_id <> b.doc_id
+),
+e1 AS (
+  SELECT v.src_id, v.dst_id, s.sibling_id AS s1, s.sim AS sim1
+  FROM validated v JOIN sib s ON s.entity_id = v.src_id AND s.parity = 0
+  WHERE s.sim >= 0.3
+),
+e2 AS (
+  SELECT v.src_id, v.dst_id, s.sibling_id AS s2, s.sim AS sim2
+  FROM validated v JOIN sib s ON s.entity_id = v.dst_id AND s.parity = 1
+  WHERE s.sim >= 0.3
+)
+SELECT DISTINCT e1.s1 AS src_doc_id, e2.s2 AS dst_doc_id, 1.0 AS sim
+FROM e1 JOIN e2 ON e1.src_id = e2.src_id AND e1.dst_id = e2.dst_id
+WHERE ABS(e1.sim1 - e2.sim2) <= 0.1
+"""
+
+
 # empty since the MSSG k-means oracle landed (2^-20-grid unrolled Lloyd
 # rounds): every registered query has a DuckDB value-hash twin
 ROWS_ONLY_QUERIES = {}
@@ -4147,6 +4432,8 @@ QUERIES = {
     "order_preservation": q_order_preservation,
     "iism_boosted_pairs": q_iism_boosted_pairs,
     "iism_subprop_union": q_iism_subprop_union,
+    "ufl_propagation": q_ufl_propagation,
+    "fs_extrapolation": q_fs_extrapolation,
     "joslyn_distance_quality": q_joslyn_distance_quality,
     "one_to_one_full": q_one_to_one_full,
     "similarity_flooding_docs": q_similarity_flooding_docs,
@@ -4216,6 +4503,8 @@ ORACLE_SQL = {
     "order_preservation": SQL_ORDER_PRESERVATION,
     "iism_boosted_pairs": SQL_IISM,
     "iism_subprop_union": SQL_IISM_SUBPROP_UNION,
+    "ufl_propagation": SQL_UFL_PROPAGATION,
+    "fs_extrapolation": SQL_FS_EXTRAPOLATION,
     "joslyn_distance_quality": SQL_JOSLYN,
     "one_to_one_full": SQL_ONE_TO_ONE,
     "similarity_flooding_docs": SQL_SF_DOCS,
