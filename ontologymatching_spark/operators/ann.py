@@ -206,23 +206,58 @@ def ivf_train_centroids(
     return centroids
 
 
+def derive_ivf_params(
+    n_vectors: int, shuffle_partitions: int = 32
+) -> tuple[int, int, int]:
+    """(n_centroids, n_salt, sample) for an IVF index over ``n_vectors``.
+
+    n_centroids ≈ √N (the FAISS guidance: cells of ~√N vectors balance
+    probe cost against cell-scan cost); n_salt subdivides cells until
+    cid×salt task keys ≥ 4× the shuffle partitions (few-key equi-joins
+    otherwise cap parallelism at the cell count, the round-2 lesson),
+    capped at 64; the training sample covers ≥ 8 vectors per centroid
+    (bounded at 4096 so the driver-free Lloyd loop stays cheap)."""
+    import math
+
+    n_centroids = max(1, int(round(math.sqrt(max(n_vectors, 1)))))
+    n_salt = max(1, min(64, -(-4 * shuffle_partitions // n_centroids)))
+    sample = max(128, min(4096, 8 * n_centroids))
+    return n_centroids, n_salt, sample
+
+
 def ivf_topk(
     vectors: DataFrame,
     k: int = 10,
-    n_centroids: int = 8,
+    n_centroids: int | None = 8,
     nprobe: int = 2,
     n_iter: int = 3,
     sample: int = 128,
     grid_bits: int = 20,
+    n_salt: int | None = None,
 ) -> DataFrame:
     """All-pairs ANN via an IVF index: every vector is indexed under its
     nearest centroid cell (rank-1 quantized dot); every probe scans its
     ``nprobe`` nearest cells; candidates come from the cell equi-join (pair
     count = Σ probe-cell sizes, never corpus²); exact cosine re-ranks
     within candidates. Output schema matches lsh_topk:
-    (probe_id, cand_id, cosine, rnk)."""
+    (probe_id, cand_id, cosine, rnk).
+
+    ``n_centroids=None`` derives production parameters from one count of
+    the corpus via ``derive_ivf_params`` (≈√N centroids, salt sized to
+    the session's shuffle parallelism) — the explicit-int default keeps
+    small benches deterministic, but scale runs should pass None so
+    bench-sized cells can't leak into a 100-TB index."""
     grid = float(1 << grid_bits)
-    n_salt = 8
+    if n_centroids is None:
+        spark = vectors.sparkSession
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        n_centroids, derived_salt, sample = derive_ivf_params(
+            vectors.count(), parts
+        )
+        if n_salt is None:
+            n_salt = derived_salt
+    if n_salt is None:
+        n_salt = 8
     centroids = ivf_train_centroids(
         vectors, n_centroids=n_centroids, n_iter=n_iter, sample=sample,
         grid_bits=grid_bits,

@@ -146,17 +146,22 @@ def ngram_contamination(
     n: int = 13,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination for a training corpus: per document, how
     many of its word n-grams appear anywhere in the benchmark set (the
     standard exact-n-gram-collision methodology; n=13 in the GPT-3/PaLM
     data papers — any hit flags the document for removal).
 
-    The benchmark's distinct gram-hash set is TINY relative to the corpus
-    (benchmarks are ~10^4-10^6 items), so the membership test is a
-    broadcast equi-join on the 60-bit gram hash — the corpus side streams
-    map-side, no corpus shuffle. → (doc_id, n_grams, n_contaminated,
-    contamination_ratio, contaminated)."""
+    The benchmark's distinct gram-hash set is normally TINY relative to
+    the corpus (benchmarks are ~10^4-10^6 items), so the default
+    membership test is a broadcast equi-join on the 60-bit gram hash —
+    the corpus side streams map-side, no corpus shuffle. For pathological
+    benchmark sizes that exceed the executor broadcast budget, pass
+    ``broadcast=False``: the same hashes go through a shuffle hash join
+    keyed on the gram hash — only the NARROW exploded (doc_id, gram_hash)
+    rows shuffle, never the document text. → (doc_id, n_grams,
+    n_contaminated, contamination_ratio, contaminated)."""
     d = docs.select(
         F.col(id_col),
         word_ngram_hashes_col(F.col(text_col), n).alias("_ghs"),
@@ -166,13 +171,17 @@ def ngram_contamination(
             F.explode(word_ngram_hashes_col(F.col(text_col), n)).alias("_gh")
         )
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
     exploded = d.select(
         id_col, F.size("_ghs").alias("n_grams"), F.explode_outer("_ghs").alias("_gh")
     )
+    bench_side = (
+        F.broadcast(bench_grams) if broadcast
+        else bench_grams.hint("shuffle_hash")
+    )
     hits = (
-        exploded.join(F.broadcast(bench_grams.withColumn("_hit", F.lit(1))),
-                      "_gh", "left")
+        exploded.join(bench_side, "_gh", "left")
         .groupBy(id_col, "n_grams")
         .agg(F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_contaminated"))
     )

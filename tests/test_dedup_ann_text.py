@@ -482,6 +482,18 @@ def test_ngram_contamination(spark):
     assert out.loc[3, "n_grams"] == 0
     assert out.loc[3, "n_contaminated"] == 0
 
+    # shuffle-join fallback (pathological benchmark sizes): identical
+    # results, and the plan really drops the broadcast — only the narrow
+    # exploded hash rows shuffle
+    shuffled = text.ngram_contamination(docs, bench, n=5, broadcast=False)
+    assert (
+        shuffled.toPandas().set_index("doc_id").sort_index().to_dict()
+        == out.sort_index().to_dict()
+    )
+    plan = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
 
 def test_scrub_pii(spark):
     """Typed redaction with exact expectations on a hand-built string."""
@@ -693,3 +705,100 @@ def test_chunk_empty_doc_token_count(spark):
     assert by_id.loc[0, "n_chunk_tokens"] == 0
     assert by_id.loc[1, "n_chunk_tokens"] == 0
     assert by_id.loc[2, "n_chunk_tokens"] == 2
+
+
+def test_ivf_param_derivation(spark):
+    """n_centroids=None derives ≈√N centroids, parallelism-sized salt and
+    a per-centroid training sample — so bench-scale defaults (8 cells)
+    can't silently leak into a production-sized index."""
+    import numpy as np
+
+    from ontologymatching_spark.operators.ann import derive_ivf_params
+
+    # pure math: √N centroids, salt fills 4× shuffle parallelism, capped
+    assert derive_ivf_params(100, 32) == (10, 13, 128)
+    assert derive_ivf_params(1_000_000, 32) == (1000, 1, 4096)
+    assert derive_ivf_params(1_000_000, 2048) == (1000, 9, 4096)
+    assert derive_ivf_params(4, 32) == (2, 64, 128)  # salt cap
+    assert derive_ivf_params(0, 32) == (1, 64, 128)  # degenerate floor
+
+    # end-to-end: the None path builds a working index (N=160 → 13 cells)
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 16)) * 4.0
+    base = np.vstack([
+        centers[c] + rng.normal(size=(20, 16)) for c in range(4)
+    ])
+    noise = base + 0.05 * rng.normal(size=(80, 16))
+    vecs_np = np.vstack([base, noise]).astype("float32")
+    rows = [(i, [float(x) for x in vecs_np[i]]) for i in range(160)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    approx = ann.ivf_topk(vecs, k=1, n_centroids=None, nprobe=2, n_iter=2)
+    got = {
+        r.probe_id: r.cand_id
+        for r in approx.filter(F.col("rnk") == 1).collect()
+    }
+    hits = sum(1 for p, c in got.items() if abs(p - c) == 80)
+    assert hits / 160 >= 0.7, f"derived-IVF planted recall@1 {hits}/160"
+
+
+def test_probe_media_codecs(spark):
+    """Magic-bytes codec probe identifies real containers (incl. an XVID
+    AVI whose frames can't be decoded here) from synthesized headers —
+    metadata is real, no fabricated features."""
+    import struct as _s
+
+    from ontologymatching_spark.operators.multimodal import (
+        _probe_codec, make_avi_bytes, make_bmp_bytes, make_wav_bytes,
+    )
+
+    assert _probe_codec(make_wav_bytes(440.0, 100)) == (
+        "riff/wave", "pcm", "wFormatTag=1"
+    )
+    assert _probe_codec(make_bmp_bytes(4, 4, seed=1))[:2] == ("bmp", "dib")
+    assert _probe_codec(make_avi_bytes(4, 4, n_frames=1)) == (
+        "riff/avi", "dib24", "biCompression=0"
+    )
+
+    # hand-built XVID AVI header: probe reports the fourcc instead of
+    # decoding (or faking) the frames
+    def chunk(fcc, data):
+        return fcc + _s.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) % 2 else b""
+        )
+
+    def lst(t, data):
+        return chunk(b"LIST", t + data)
+
+    xvid = _s.unpack("<I", b"XVID")[0]
+    avih = _s.pack("<14I", 100000, 0, 0, 0, 1, 0, 1, 4, 1, 1, 0, 0, 0, 0)
+    strh = _s.pack("<4s4sIHH8I4h", b"vids", b"XVID", 0, 0, 0, 0, 1, 10, 0,
+                   1, 4, 0, 0, 0, 0, 1, 1)
+    strf = _s.pack("<IiiHHIIiiII", 40, 1, 1, 1, 12, xvid, 4, 0, 0, 0, 0)
+    body = (b"AVI " + lst(b"hdrl", chunk(b"avih", avih)
+            + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+            + lst(b"movi", chunk(b"00dc", b"\x01\x02\x03\x04")))
+    avi_xvid = b"RIFF" + _s.pack("<I", len(body)) + body
+    assert _probe_codec(avi_xvid) == (
+        "riff/avi", "xvid", f"biCompression={xvid}"
+    )
+
+    # other families from raw magic bytes
+    png = b"\x89PNG\r\n\x1a\n" + _s.pack(">I", 13) + b"IHDR" + _s.pack(
+        ">IIBBBBB", 640, 480, 8, 2, 0, 0, 0)
+    assert _probe_codec(png) == ("png", "png", "640x480")
+    assert _probe_codec(b"\xff\xd8\xff\xe0\x00\x10JFIF\x00")[0] == "jpeg"
+    assert _probe_codec(
+        _s.pack(">I", 20) + b"ftypisom" + b"\x00" * 8
+    ) == ("iso-bmff", "isom", "mp4-family")
+    assert _probe_codec(b"OggSxxxx" + b"OpusHead" + b"\x00" * 8)[1] == "opus"
+    assert _probe_codec(b"\x1aE\xdf\xa3" + b"\x00" * 16)[0] == "matroska"
+    assert _probe_codec(b"fLaC" + b"\x00" * 16)[0] == "flac"
+    assert _probe_codec(b"ID3\x04\x00" + b"\x00" * 16)[0] == "mp3"
+    assert _probe_codec(b"\x00" * 16) == ("unknown", "unknown", "00000000")
+
+    # distributed path over the synth table: every row identified
+    media = multimodal.synth_media(spark, n=12)
+    probed = multimodal.probe_media_codecs(media).toPandas()
+    assert len(probed) == 12
+    assert set(probed["container"]) == {"riff/wave", "bmp", "riff/avi"}
+    assert (probed["codec"] != "unknown").all()
