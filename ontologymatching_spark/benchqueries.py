@@ -2432,7 +2432,16 @@ def q_order_preservation(spark, sf_dir):
     ).filter(F.col("desc_id") != F.col("anc_id"))
     sp = par.filter(F.col("desc_id") % 2 == 0)
     dp = par.filter(F.col("desc_id") % 2 == 1)
-    return order_preservation(align, sp, dp)
+    # same lake-scale gate as q_joslyn_distance_quality: exact only while
+    # the alignment is oracle-sized (mapping pairs are O(n_align²) — the
+    # 23k-mapping sf1 alignment ran 272M exact pairs in 48 s; the capped
+    # md5 sample is the documented production mode). sf0.01 (14) and
+    # sf0.1 (342) stay exact.
+    align = align.localCheckpoint()
+    n_align = align.count()
+    return order_preservation(
+        align, sp, dp, max_pairs=None if n_align <= 2000 else 500_000
+    )
 
 
 SQL_ORDER_PRESERVATION = f"""
@@ -4392,6 +4401,159 @@ WHERE ABS(e1.sim1 - e2.sim2) <= 0.1
 """
 
 
+SG_DIM, SG_WINDOW, SG_NEG, SG_ROUNDS, SG_LR = 8, 2, 2, 2, 0.05
+SG_GRID = float(1 << 20)
+
+
+def q_skipgram_neg(spark, sf_dir):
+    """NEG-sampling skip-gram parity trainer (operators/embeddings.
+    skipgram_vocab/_neg_examples/_neg_train; SkipGramEmbeddingModel.scala
+    :11-74 example construction + :50-74 objective/gradient,
+    VocabBuilder.scala:150-165 unigram^0.75 negative table): 2 synchronous
+    full-batch gradient-ascent rounds over the documents corpus on the
+    2^-20 grid — weights bit-identical across engines and parallelism.
+    Output: one row per vocab word with its trained 8-dim embedding."""
+    from .operators.embeddings import (
+        skipgram_neg_examples,
+        skipgram_neg_train,
+        skipgram_vocab,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = skipgram_vocab(docs).localCheckpoint()
+    ex = skipgram_neg_examples(docs, vocab, window=SG_WINDOW,
+                               negative=SG_NEG)
+    wts = skipgram_neg_train(ex, vocab, dim=SG_DIM, rounds=SG_ROUNDS,
+                             lr=SG_LR)
+    out = wts.join(vocab.select("word", "word_id"), "word_id")
+    return out.select(
+        "word_id", "word",
+        *[
+            (F.floor(F.element_at("embedding", d + 1) * 1e6) / 1e6)
+            .alias(f"e{d}")
+            for d in range(SG_DIM)
+        ],
+    )
+
+
+def _sql_skipgram_neg() -> str:
+    """DuckDB twin of q_skipgram_neg: vocab CDF, md5-indexed example
+    construction, and SG_ROUNDS unrolled gradient rounds over explicit
+    e0..e7 weight columns — every gradient term a product of 2^-20-grid
+    values, so sums are exact in any order and the weights hash-match."""
+    D, G, W, NEG, LR = SG_DIM, SG_GRID, SG_WINDOW, SG_NEG, SG_LR
+
+    def fg(expr):
+        return f"floor(({expr}) * {G}) / {G}"
+
+    init_cols = ", ".join(
+        fg(
+            f"((('0x' || substr(md5('w|' || word_id::VARCHAR || '|' || {d}), 1, 8))::BIGINT % {1 << 20}) / {G} - 0.5) / {D}"
+        ) + f" AS e{d}"
+        for d in range(D)
+    )
+    sql = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+counts AS (
+  SELECT u AS word, COUNT(*) AS cnt
+  FROM (SELECT unnest(t) AS u FROM toks) GROUP BY 1
+),
+v0 AS (
+  SELECT word, cnt, row_number() OVER (ORDER BY word) - 1 AS word_id,
+         {fg("pow(cnt, 0.75)")} AS p_raw
+  FROM counts
+),
+v1 AS (SELECT *, p_raw / (SELECT SUM(p_raw) FROM v0) AS p FROM v0),
+vocab AS (
+  SELECT word, word_id, cnt,
+         SUM(p) OVER (ORDER BY word_id ROWS UNBOUNDED PRECEDING) - p AS lo,
+         CASE WHEN word_id = (SELECT MAX(word_id) FROM v1) THEN 1.000001
+              ELSE SUM(p) OVER (ORDER BY word_id ROWS UNBOUNDED PRECEDING)
+         END AS hi
+  FROM v1
+),
+sen AS (
+  SELECT toks.doc_id, CAST(i - 1 AS INT) AS pos, v.word_id AS wid
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+  JOIN vocab v ON v.word = t[CAST(i AS INT)]
+),
+withb AS (
+  SELECT *, CAST(('0x' || substr(md5('b|' || doc_id::VARCHAR || '|' || pos::VARCHAR), 1, 8))::BIGINT % {W} AS INT) AS b
+  FROM sen
+),
+offs AS (
+  SELECT CAST(o AS INT) AS off
+  FROM unnest(range(-{W}, {W} + 1)) AS u(o) WHERE o <> 0
+),
+ks AS (SELECT CAST(k AS INT) AS k FROM unnest(range(0, {NEG})) AS u(k)),
+ctx AS (
+  SELECT w.doc_id, w.pos, o.off, w.wid, s2.wid AS cid
+  FROM withb w
+  JOIN offs o ON o.off BETWEEN w.b - {W} AND {W} - w.b
+  JOIN sen s2 ON s2.doc_id = w.doc_id AND s2.pos = w.pos + o.off
+),
+pos_ex AS (SELECT wid AS word, cid AS ctx, 1.0 AS label FROM ctx),
+neg_ex AS (
+  SELECT c.wid AS word, v.word_id AS ctx, -1.0 AS label
+  FROM (SELECT ctx.*, ks.k FROM ctx CROSS JOIN ks) c
+  JOIN vocab v
+    ON ((('0x' || substr(md5('n|' || c.doc_id::VARCHAR || '|' || c.pos::VARCHAR || '|' || c.off::VARCHAR || '|' || c.k::VARCHAR), 1, 8))::BIGINT % {1 << 20}) / {G}) >= v.lo
+   AND ((('0x' || substr(md5('n|' || c.doc_id::VARCHAR || '|' || c.pos::VARCHAR || '|' || c.off::VARCHAR || '|' || c.k::VARCHAR), 1, 8))::BIGINT % {1 << 20}) / {G}) < v.hi
+),
+ex AS (SELECT * FROM pos_ex UNION ALL SELECT * FROM neg_ex),
+w0 AS (SELECT word_id, {init_cols} FROM vocab)
+"""
+    prev = "w0"
+    for r in range(SG_ROUNDS):
+        score = " + ".join(f"a.e{d} * b.e{d}" for d in range(D))
+        gsum_cols = ", ".join(
+            f"SUM({fg(f'factor * other_e{d}')}) AS g{d}" for d in range(D)
+        )
+        upd_cols = ", ".join(
+            f"CASE WHEN g.word_id IS NULL THEN w.e{d} ELSE "
+            + fg(f"w.e{d} + ({LR} / (SELECT COUNT(*) FROM ex)) * g.g{d}")
+            + f" END AS e{d}"
+            for d in range(D)
+        )
+        w_other = ", ".join(f"b.e{d} AS other_e{d}" for d in range(D))
+        c_other = ", ".join(f"a.e{d} AS other_e{d}" for d in range(D))
+        sql += f""",
+sc_{r} AS (
+  SELECT ex.word, ex.ctx, ex.label,
+         {fg(f"CASE WHEN ex.label = 1.0 THEN exp(-({score})) / (1.0 + exp(-({score}))) ELSE -1.0 / (1.0 + exp(-({score}))) END")} AS factor,
+         {w_other}, {c_other.replace('other_e', 'self_e')}
+  FROM ex
+  JOIN {prev} a ON a.word_id = ex.word
+  JOIN {prev} b ON b.word_id = ex.ctx
+),
+contrib_{r} AS (
+  SELECT word AS word_id, factor, {', '.join(f'other_e{d}' for d in range(D))} FROM sc_{r}
+  UNION ALL
+  SELECT ctx AS word_id, factor, {', '.join(f'self_e{d} AS other_e{d}' for d in range(D))} FROM sc_{r}
+),
+grad_{r} AS (
+  SELECT word_id, {gsum_cols} FROM contrib_{r} GROUP BY word_id
+),
+w{r + 1} AS (
+  SELECT w.word_id, {upd_cols}
+  FROM {prev} w LEFT JOIN grad_{r} g ON g.word_id = w.word_id
+)"""
+        prev = f"w{r + 1}"
+    out_cols = ", ".join(
+        f"floor(w.e{d} * 1e6) / 1e6 AS e{d}" for d in range(D)
+    )
+    sql += f"""
+SELECT w.word_id, v.word, {out_cols}
+FROM {prev} w JOIN vocab v ON v.word_id = w.word_id
+"""
+    return sql
+
+
+SQL_SKIPGRAM_NEG = _sql_skipgram_neg()
+
+
 # empty since the MSSG k-means oracle landed (2^-20-grid unrolled Lloyd
 # rounds): every registered query has a DuckDB value-hash twin
 ROWS_ONLY_QUERIES = {}
@@ -4450,6 +4612,7 @@ QUERIES = {
     "iism_subprop_union": q_iism_subprop_union,
     "ufl_propagation": q_ufl_propagation,
     "fs_extrapolation": q_fs_extrapolation,
+    "skipgram_neg": q_skipgram_neg,
     "joslyn_distance_quality": q_joslyn_distance_quality,
     "one_to_one_full": q_one_to_one_full,
     "similarity_flooding_docs": q_similarity_flooding_docs,
@@ -4521,6 +4684,7 @@ ORACLE_SQL = {
     "iism_subprop_union": SQL_IISM_SUBPROP_UNION,
     "ufl_propagation": SQL_UFL_PROPAGATION,
     "fs_extrapolation": SQL_FS_EXTRAPOLATION,
+    "skipgram_neg": SQL_SKIPGRAM_NEG,
     "joslyn_distance_quality": SQL_JOSLYN,
     "one_to_one_full": SQL_ONE_TO_ONE,
     "similarity_flooding_docs": SQL_SF_DOCS,

@@ -208,3 +208,253 @@ def mssg_sense_vectors(
         kmeans,
         "word string, sense long, sense_vec array<double>, n_contexts long",
     )
+
+
+# ---------------------------------------------------------------------------
+# NEG-sampling skip-gram parity trainer
+# (SkipGramEmbeddingModel.scala:11-74 + VocabBuilder.scala:150-165)
+# ---------------------------------------------------------------------------
+
+SG_GRID_BITS = 20
+SG_GRID = float(1 << SG_GRID_BITS)
+
+
+def _sg_md5_unit(*parts):
+    """md5-derived uniform draw on the 2^-20 grid in [0,1) — the
+    engine-portable stand-in for the reference's seeded java.util.Random
+    stream (same distribution, hash-indexed instead of call-ordered so a
+    distributed plan draws identically in any partitioning)."""
+    from ..functions.spark_sims import md5int_col
+
+    key = F.concat_ws("|", *[p.cast("string") for p in parts])
+    return (md5int_col(key) % F.lit(1 << SG_GRID_BITS)) / F.lit(SG_GRID)
+
+
+def _fg(c):
+    return F.floor(c * SG_GRID) / SG_GRID
+
+
+def skipgram_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, word_id, cnt, lo, hi): vocabulary with the unigram^0.75
+    negative-sampling CDF (VocabBuilder.scala:150-165 builds the same
+    distribution as a 10^8-slot discretized table; here the exact CDF is a
+    2-column range, engine-portable: pow floored to the grid, cumulative
+    sum in word_id order — identical left-to-right IEEE adds in any
+    engine). word_id = alphabetic rank (deterministic)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    counts = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("word")
+    v = counts.withColumn(
+        "word_id", F.row_number().over(w) - 1
+    ).withColumn("p_raw", _fg(F.pow(F.col("cnt"), F.lit(0.75))))
+    tot = v.agg(F.sum("p_raw").alias("tot"))
+    v = v.crossJoin(F.broadcast(tot)).withColumn(
+        "p", F.col("p_raw") / F.col("tot")
+    )
+    cum = Window.orderBy("word_id").rowsBetween(Window.unboundedPreceding, 0)
+    nv = v.count()
+    return (
+        v.withColumn("hi0", F.sum("p").over(cum))
+        .withColumn("lo", F.col("hi0") - F.col("p"))
+        .withColumn(
+            "hi",
+            F.when(F.col("word_id") == nv - 1, F.lit(1.000001))
+            .otherwise(F.col("hi0")),
+        )
+        .select("word", "word_id", "cnt", "lo", "hi")
+    )
+
+
+def skipgram_neg_examples(
+    docs: DataFrame,
+    vocab: DataFrame,
+    window: int = 2,
+    negative: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(word, ctx, label ±1) training examples with the reference's exact
+    example construction (SkipGramEmbeddingModel.process :11-48): per
+    position a random window shrink b ∈ [0,window), contexts at senPos −
+    window + a for a ∈ [b, 2·window+1−b) \\ {window}; one positive per
+    (word, context) plus ``negative`` unigram^0.75-sampled negatives.
+    Random draws are md5-hash-indexed (same distribution as the seeded
+    rng; order-free so the plan distributes). Subsampling is off
+    (opts.sample defaults 0). All JVM-side: token explode, sequence
+    explode, broadcast CDF range join — no UDF, no shuffle of doc text."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    sen = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks).alias("pos", "w"),
+    )
+    ids = F.broadcast(vocab.select(F.col("word").alias("w"), "word_id"))
+    sen = sen.join(ids, "w").select(
+        "doc_id", "pos", F.col("word_id").alias("wid")
+    )
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit("b"), F.col("doc_id"),
+                                  F.col("pos"))), 1, 8
+            ), 16, 10
+        ).cast("long") % window
+    ).cast("int")
+    withb = sen.withColumn("b", b)
+    ctxpos = withb.select(
+        "doc_id", "pos", "wid",
+        F.explode(
+            F.filter(
+                F.sequence(
+                    F.col("b") - window, window - F.col("b")
+                ),
+                lambda o: o != 0,
+            )
+        ).alias("off"),
+    ).withColumn("cpos", F.col("pos") + F.col("off"))
+    ctx = ctxpos.join(
+        sen.select(
+            "doc_id", F.col("pos").alias("cpos"), F.col("wid").alias("cid")
+        ),
+        ["doc_id", "cpos"],
+    )
+    pos_ex = ctx.select(
+        "doc_id", "pos", "off",
+        F.col("wid").alias("word"), F.col("cid").alias("ctx"),
+        F.lit(1).alias("label"),
+    )
+    negs = ctx.select(
+        "doc_id", "pos", "off", "wid",
+        F.explode(F.sequence(F.lit(0), F.lit(negative - 1))).alias("k"),
+    ).withColumn(
+        "u",
+        _sg_md5_unit(F.lit("n"), F.col("doc_id"), F.col("pos"),
+                     F.col("off"), F.col("k")),
+    )
+    cdf = F.broadcast(vocab.select(
+        F.col("word_id").alias("nid"), "lo", "hi"
+    ))
+    neg_ex = (
+        negs.join(cdf, (F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi")))
+        .select(
+            "doc_id", "pos", "off",
+            F.col("wid").alias("word"), F.col("nid").alias("ctx"),
+            F.lit(-1).alias("label"),
+        )
+    )
+    return pos_ex.unionByName(neg_ex)
+
+
+def skipgram_neg_train(
+    examples: DataFrame,
+    vocab: DataFrame,
+    dim: int = 8,
+    rounds: int = 2,
+    lr: float = 0.05,
+) -> DataFrame:
+    """Synchronous full-batch NEG gradient rounds with the reference's
+    exact per-example objective/gradient (SkipGramNegSamplingExample
+    :50-74: score = w·c; positive factor σ(−s) = e^(−s)/(1+e^(−s)),
+    negative factor −σ(s) = −1/(1+e^(−s)); BOTH the word and the context
+    row of the single shared weight matrix accumulate factor × other).
+    The reference's HogWild asynchronous SGD is execution-order-dependent
+    by construction; the distributed re-expression is synchronous batch
+    gradient ascent on the MEAN objective (summed gradient / n_examples —
+    without the mean a corpus-sized batch diverges at any fixed lr) —
+    same objective, same gradient field, deterministic (the same
+    deviation Spark ML's Word2Vec makes).
+
+    Engine-exact determinism: init and factors floored to the 2^-20 grid,
+    so every gradient term is a product of grid values (exact 2^-40 sums
+    in any order) and the unrolled DuckDB twin reproduces weights
+    bit-identically. → (word_id, embedding array<double>)."""
+    wts = vocab.select("word_id").withColumn(
+        "embedding",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: _fg(
+                (_sg_md5_unit(F.lit("w"), F.col("word_id"), d) - 0.5)
+                / dim
+            ),
+        ),
+    ).localCheckpoint()
+    ex = examples.select("word", "ctx", F.col("label").cast("double")
+                         .alias("label")).localCheckpoint()
+    step = lr / ex.count()  # mean-gradient step; exact same double in SQL
+    for _ in range(rounds):
+        we = wts.select(F.col("word_id").alias("word"),
+                        F.col("embedding").alias("wv"))
+        ce = wts.select(F.col("word_id").alias("ctx"),
+                        F.col("embedding").alias("cv"))
+        scored = (
+            ex.join(F.broadcast(we), "word")
+            .join(F.broadcast(ce), "ctx")
+            .withColumn(
+                "score",
+                F.aggregate(
+                    F.zip_with(F.col("wv"), F.col("cv"),
+                               lambda a_, b_: a_ * b_),
+                    F.lit(0.0), lambda acc, v: acc + v,
+                ),
+            )
+            .withColumn(
+                "factor",
+                _fg(
+                    F.when(
+                        F.col("label") == 1.0,
+                        F.exp(-F.col("score"))
+                        / (F.lit(1.0) + F.exp(-F.col("score"))),
+                    ).otherwise(
+                        F.lit(-1.0)
+                        / (F.lit(1.0) + F.exp(-F.col("score")))
+                    )
+                ),
+            )
+        )
+        # both sides accumulate factor × other-embedding (shared matrix).
+        # each per-example contribution is floored to the 2^-20 grid BEFORE
+        # summing: raw products live on 2^-40, whose exact-sum budget
+        # (Σ|terms| < 2^13) a corpus-scale example count overflows — on
+        # 2^-20 the budget is 2^33 terms, order-independent at any SF
+        contrib = scored.select(
+            F.col("word").alias("word_id"),
+            F.transform(F.col("cv"), lambda v: _fg(F.col("factor") * v))
+            .alias("g"),
+        ).unionByName(
+            scored.select(
+                F.col("ctx").alias("word_id"),
+                F.transform(F.col("wv"), lambda v: _fg(F.col("factor") * v))
+                .alias("g"),
+            )
+        )
+        grads = (
+            contrib.select("word_id", F.posexplode("g").alias("d", "gd"))
+            .groupBy("word_id", "d")
+            .agg(F.sum("gd").alias("gsum"))
+            .groupBy("word_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "gsum"))),
+                    lambda s: s["gsum"],
+                ).alias("grad")
+            )
+        )
+        wts = (
+            wts.join(grads, "word_id", "left")
+            .withColumn(
+                "embedding",
+                F.when(
+                    F.col("grad").isNull(), F.col("embedding")
+                ).otherwise(
+                    F.zip_with(
+                        F.col("embedding"), F.col("grad"),
+                        lambda wv, g: _fg(wv + F.lit(step) * g),
+                    )
+                ),
+            )
+            .select("word_id", "embedding")
+            .localCheckpoint()
+        )
+    return wts

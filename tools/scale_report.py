@@ -28,6 +28,7 @@ QUADRATIC = {
     "asm_sorted_token_match", "sigmoid_rescale", "lwc_sigmoid",
     "mediating_join", "completion_anti_join", "best_match_boost",
     "iism_boosted_pairs", "iism_subprop_union", "structural_boost",
+    "order_preservation",
     "similarity_flooding_docs", "disagreement_variance", "ufl_quality",
     "ufl_propagation", "fs_extrapolation", "joslyn_distance_quality",
     "bsm_cascade", "hierarchy_mappings", "pr_evaluation",

@@ -35,7 +35,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ontologymatching_spark import benchqueries as B  # noqa: E402
 from ontologymatching_spark.session import get_spark  # noqa: E402
 
-JOBS = ["pricing_summary", "minhash_lsh_pairs", "ufl_quality"]
+JOBS = [
+    "pricing_summary",      # linear scan+agg (lineitem 6M rows)
+    "lev_blocked_pairs",    # quadratic blocked similarity join
+    "jaro_winkler_pairs",   # pandas-UDF kernel over the pair matrix
+    "minhash_lsh_pairs",    # sig build + banded shuffle join
+]
 
 
 def run_at(cores: int, sf_dir: str, include_kg: bool) -> dict[str, float]:
