@@ -3,23 +3,25 @@ scaling efficiency >= 0.8 between cluster sizes N and 4N).
 
 No real cluster exists in this sandbox, so the same job runs at two
 local[] parallelism levels on the SAME input and we report throughput at
-both + efficiency. Two candidate pairs are measured:
+both + efficiency. Protocol learned the hard way (see BENCH.md):
 
-  - 2 -> 8 cores: inside the CPU probe's linear region on every VM seen
-    so far (tools/cpu_probe.py first); the clean evidence.
-  - 8 -> 32 cores: the full-width pair; on host-capped VMs the probe
-    itself shows the ceiling, so efficiency here is reported WITH the
-    probe efficiency as context (never compare against a different VM).
+  - every job runs TWICE per level and the SECOND (warm) time is kept —
+    the first run pays JIT/codegen/footer-parse costs that swamp small
+    jobs and fake super-linear speedups;
+  - the 2→8 pair uses mid-size queries (feasible at 2 cores and large
+    enough to dwarf scheduling overhead); the 8→32 pair uses the HEAVY
+    pair-matrix queries (a 0.5 s job cannot evidence 32-way scaling);
+  - the KG pipeline probe uses a 10k-file corpus at 8/32 only — the
+    2k-file bench corpus is fixed-overhead-dominated at any width
+    (CLAUDE.md: never judge N→4N on a small corpus);
+  - run tools/cpu_probe.py FIRST: its 8→32 kernel efficiency is the
+    hardware ceiling of this VM — quote Spark's 8→32 number against it,
+    never against 1.0.
 
-Representative jobs: one quadratic pair-matrix query (ufl_quality), one
-linear scan+agg (pricing_summary), one shuffle-heavy dedup
-(minhash_lsh_pairs), and the KG pipeline itself.
+Each (cores, job) runs in a FRESH SparkSession (stop + new) so heap and
+codegen state can't leak across levels.
 
-Each (cores, job) runs in a FRESH SparkSession (stop + new), one at a
-time, so JVM heap state from the wide run can't pollute the narrow run.
-
-Usage: python tools/scaling_probe_sf1.py [sf_dir] [pairs]
-  pairs: comma list like "2:8,8:32" (default)
+Usage: python tools/scaling_probe_sf1.py [sf_dir]
 """
 
 from __future__ import annotations
@@ -35,32 +37,46 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ontologymatching_spark import benchqueries as B  # noqa: E402
 from ontologymatching_spark.session import get_spark  # noqa: E402
 
-JOBS = [
-    "pricing_summary",      # linear scan+agg (lineitem 6M rows)
+MID_JOBS = [
     "lev_blocked_pairs",    # quadratic blocked similarity join
     "jaro_winkler_pairs",   # pandas-UDF kernel over the pair matrix
     "minhash_lsh_pairs",    # sig build + banded shuffle join
 ]
+HEAVY_JOBS = [
+    "tfidf_cosine_pairs",   # 20.7M-pair sparse-vector cosine
+    "ufl_quality",          # 11-metric diagnostic over the pair matrix
+]
 
 
-def run_at(cores: int, sf_dir: str, include_kg: bool) -> dict[str, float]:
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def run_level(cores: int, sf_dir: str, jobs: list[str],
+              kg_files: int | None) -> dict[str, float]:
     spark = get_spark(app_name=f"scale{cores}", master=f"local[{cores}]")
     spark.sparkContext.setLogLevel("ERROR")
     times: dict[str, float] = {}
-    # warm JVM/code paths once so measurements exclude first-call JIT
-    B.q_doc_stats(spark, sf_dir).count()
-    for name in JOBS:
-        t0 = time.time()
-        B.QUERIES[name](spark, sf_dir).count()
-        times[name] = round(time.time() - t0, 3)
-    if include_kg:
+    for name in jobs:
+        _timed(lambda: B.QUERIES[name](spark, sf_dir).count())  # warm JIT
+        # drop plan-canonical .cache() data from the warm run — otherwise
+        # cached stages (e.g. minhash signatures) are skipped in the timed
+        # run and the job under-reports its own work
+        spark.catalog.clearCache()
+        times[name] = round(
+            _timed(lambda: B.QUERIES[name](spark, sf_dir).count()), 3
+        )
+    if kg_files:
         from ontologymatching_spark.corpus.generator import generate_corpus
         from ontologymatching_spark.plans.checkpoint import CheckpointStore
         from ontologymatching_spark.plans.pipeline import KGPipeline
 
-        src_files, _ = generate_corpus(n_repos=100, files_per_repo=20,
-                                       seed=42)
-        sf = spark.createDataFrame(src_files).repartition(32).cache()
+        src_files, _ = generate_corpus(
+            n_repos=kg_files // 40, files_per_repo=40, seed=42
+        )
+        sf = spark.createDataFrame(src_files).repartition(64).cache()
         sf.count()
         t0 = time.time()
         out = KGPipeline(
@@ -74,30 +90,39 @@ def run_at(cores: int, sf_dir: str, include_kg: bool) -> dict[str, float]:
     return times
 
 
-def main(sf_dir: str, pairs: list[tuple[int, int]]) -> None:
-    cores_needed = sorted({c for p in pairs for c in p})
-    results = {}
-    for c in cores_needed:
-        print(f"== local[{c}] ==", flush=True)
-        results[c] = run_at(c, sf_dir, include_kg=True)
-        print(json.dumps(results[c]), flush=True)
-    report = {"sf_dir": sf_dir, "runs": {str(c): r for c, r in results.items()},
-              "pairs": {}}
-    for lo, hi in pairs:
-        eff = {}
-        for k in results[lo]:
+def main(sf_dir: str) -> None:
+    report = {"sf_dir": sf_dir, "runs": {}, "pairs": {}}
+
+    for cores in (2, 8):
+        print(f"== mid jobs local[{cores}] ==", flush=True)
+        report["runs"][f"mid_{cores}"] = run_level(
+            cores, sf_dir, MID_JOBS, kg_files=None
+        )
+        print(json.dumps(report["runs"][f"mid_{cores}"]), flush=True)
+    for cores in (8, 32):
+        print(f"== heavy jobs local[{cores}] ==", flush=True)
+        report["runs"][f"heavy_{cores}"] = run_level(
+            cores, sf_dir, HEAVY_JOBS, kg_files=10_000
+        )
+        print(json.dumps(report["runs"][f"heavy_{cores}"]), flush=True)
+
+    def eff(lo: dict, hi: dict, ratio: float) -> dict:
+        out = {}
+        for k in lo:
             if k.endswith("per_sec"):
-                eff[k] = round(results[hi][k] / results[lo][k] / (hi / lo), 3)
+                out[k] = round(hi[k] / lo[k] / ratio, 3)
             else:
-                eff[k] = round(
-                    results[lo][k] / results[hi][k] / (hi / lo), 3
-                )
-        report["pairs"][f"{lo}->{hi}"] = eff
-    print("SCALING " + json.dumps(report))
+                out[k] = round(lo[k] / hi[k] / ratio, 3)
+        return out
+
+    report["pairs"]["2->8"] = eff(
+        report["runs"]["mid_2"], report["runs"]["mid_8"], 4.0
+    )
+    report["pairs"]["8->32"] = eff(
+        report["runs"]["heavy_8"], report["runs"]["heavy_32"], 4.0
+    )
+    print("SCALING " + json.dumps(report), flush=True)
 
 
 if __name__ == "__main__":
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/scaledata/sf1"
-    raw = sys.argv[2] if len(sys.argv) > 2 else "2:8,8:32"
-    prs = [tuple(int(x) for x in p.split(":")) for p in raw.split(",")]
-    main(sf_dir, prs)
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/repo/scaledata/sf1")
