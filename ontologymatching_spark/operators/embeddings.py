@@ -429,17 +429,16 @@ def skipgram_neg_train(
                 .alias("g"),
             )
         )
-        grads = (
-            contrib.select("word_id", F.posexplode("g").alias("d", "gd"))
-            .groupBy("word_id", "d")
-            .agg(F.sum("gd").alias("gsum"))
-            .groupBy("word_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("d", "gsum"))),
-                    lambda s: s["gsum"],
-                ).alias("grad")
-            )
+        # per-dim sums in ONE groupBy (no posexplode: an 8-dim explode
+        # multiplies the contribution rows 8x and needs a second groupBy
+        # to re-assemble — measured 53 s → 20 s at sf0.1, 89 → 27 s at sf1)
+        grads = contrib.groupBy("word_id").agg(
+            F.array(
+                *[
+                    F.sum(F.element_at("g", d + 1)).alias(f"g{d}")
+                    for d in range(dim)
+                ]
+            ).alias("grad")
         )
         wts = (
             wts.join(grads, "word_id", "left")
