@@ -4190,14 +4190,23 @@ def q_ufl_propagation(spark, sf_dir):
     )
     forb = train.select("src_id", "dst_id")
     ssv = ["sim_lev", "sim_qgram", "sim_dice"]
+    # the nearest-validated argmin is method-independent: share ONE lazy
+    # subtree across both passes. Deliberately NOT checkpointed: the
+    # isolated materialization ran 6x slower than leaving both branches
+    # inside the final fused job (145 s vs 25 s at sf0.1 — the struct-min
+    # SortAggregate spills when forced to materialize alone, while the
+    # lazy twin branches pipeline inside whole-stage codegen)
+    from .operators.feedback import nearest_validated
+
+    nn = nearest_validated(p, train, ssv)
     out = propagate_feedback(
         p, train, ssv, method="logdist", forbidden=forb,
-        out_col="sim_logdist",
+        out_col="sim_logdist", nn=nn,
     )
     out = out.withColumn("mq", 2.0 * F.abs(F.col("sim") - 0.5))
     out = propagate_feedback(
         out, train, ssv, method="quality", ts_quality=0.25,
-        mp_quality_col="mq", forbidden=forb, out_col="sim_quality",
+        mp_quality_col="mq", forbidden=forb, out_col="sim_quality", nn=nn,
     )
     f6 = lambda c: F.floor(F.col(c) * 1e6) / 1e6  # noqa: E731
     return out.select(

@@ -55,53 +55,16 @@ def _floor_grid(c, grid: float = GRID):
     return F.floor(c * grid) / grid
 
 
-def propagate_feedback(
+def nearest_validated(
     pairs: DataFrame,
     train: DataFrame,
     ssv_cols: list[str],
-    method: str = "logdist",
-    dist_perc: float = DIST_PERC,
-    log_multiplier: float = LOG_MULTIPLIER,
-    ts_quality: float | None = None,
-    mp_quality_col: str | None = None,
-    forbidden: DataFrame | None = None,
-    sim_col: str = "sim",
-    out_col: str = "sim_prop",
 ) -> DataFrame:
-    """One propagation round over the sparse pair matrix.
-
-    ``pairs``: (src_id, dst_id, sim, *ssv_cols) — ssv_cols are the
-    per-matcher signature-vector components (getSignatureVector :46-59).
-    ``train``: (train_idx, *ssv_cols, label) — validated signatures with
-    label 1.0 (correct) / 0.0 (incorrect); train_idx is the caller's
-    deterministic ordering (the reference keeps the FIRST minimal row —
-    ties break by train_idx ASC here).
-    ``forbidden``: validated positions (src_id, dst_id) that must keep
-    their similarity (the forbidden_pos gate).
-
-    Signature values are floored to the 2^-20 grid on both operands
-    before distances. Cells with an all-zero signature are skipped
-    (validSsv :64-73). The training set is broadcast (user validations
-    per iteration are tiny by construction; at 100 TB the pair table
-    streams against it with no shuffle)."""
-    if method not in ("none", "euzero", "logdist", "quality"):
-        raise ValueError(f"unknown propagation method {method!r}")
-    if method == "none":
-        return pairs.withColumn(out_col, F.col(sim_col))
-    if method == "quality" and (ts_quality is None or mp_quality_col is None):
-        raise ValueError("quality propagation needs ts_quality and "
-                         "mp_quality_col")
-
-    n_train = train.count()  # bounded: per-iteration user validations
-    if n_train == 0:
-        return pairs.withColumn(out_col, F.col(sim_col))
-    if method == "euzero":
-        thr = (n_train - 1) * 0.0 / 100          # :170 — always 0
-    elif method == "logdist":
-        thr = (n_train - 1) * dist_perc / 100    # :252
-    else:
-        thr = len(ssv_cols) * dist_perc / 100    # :326 (|ssv| columns)
-
+    """(src_id, dst_id, nn_dist, nn_label): each pair's nearest validated
+    signature (argmin Euclidean over the broadcast train set; ties to the
+    lowest train_idx like the reference's strict-< scan). Shared across
+    propagation methods — the argmin is method-independent, and computing
+    it once halves a multi-method pass (measured in ufl_propagation)."""
     tq = train.select(
         "train_idx", "label",
         *[_floor_grid(F.col(c)).alias(f"t_{c}") for c in ssv_cols],
@@ -121,7 +84,7 @@ def propagate_feedback(
             for c in ssv_cols
         ],
     )
-    nn = (
+    return (
         pq.filter(valid)
         .crossJoin(F.broadcast(tq))
         .withColumn("dist", F.sqrt(dist2))
@@ -132,8 +95,61 @@ def propagate_feedback(
             F.col("nn.dist").alias("nn_dist"),
             F.col("nn.label").alias("nn_label"),
         )
-        .filter(F.col("nn_dist") <= thr)
     )
+
+
+def propagate_feedback(
+    pairs: DataFrame,
+    train: DataFrame,
+    ssv_cols: list[str],
+    method: str = "logdist",
+    dist_perc: float = DIST_PERC,
+    log_multiplier: float = LOG_MULTIPLIER,
+    ts_quality: float | None = None,
+    mp_quality_col: str | None = None,
+    forbidden: DataFrame | None = None,
+    sim_col: str = "sim",
+    out_col: str = "sim_prop",
+    nn: DataFrame | None = None,
+) -> DataFrame:
+    """One propagation round over the sparse pair matrix.
+
+    ``pairs``: (src_id, dst_id, sim, *ssv_cols) — ssv_cols are the
+    per-matcher signature-vector components (getSignatureVector :46-59).
+    ``train``: (train_idx, *ssv_cols, label) — validated signatures with
+    label 1.0 (correct) / 0.0 (incorrect); train_idx is the caller's
+    deterministic ordering (the reference keeps the FIRST minimal row —
+    ties break by train_idx ASC here).
+    ``forbidden``: validated positions (src_id, dst_id) that must keep
+    their similarity (the forbidden_pos gate).
+
+    Signature values are floored to the 2^-20 grid on both operands
+    before distances. Cells with an all-zero signature are skipped
+    (validSsv :64-73). The training set is broadcast (user validations
+    per iteration are tiny by construction; at 100 TB the pair table
+    streams against it with no shuffle). ``nn`` lets callers share one
+    ``nearest_validated`` result across methods (checkpoint it first)."""
+    if method not in ("none", "euzero", "logdist", "quality"):
+        raise ValueError(f"unknown propagation method {method!r}")
+    if method == "none":
+        return pairs.withColumn(out_col, F.col(sim_col))
+    if method == "quality" and (ts_quality is None or mp_quality_col is None):
+        raise ValueError("quality propagation needs ts_quality and "
+                         "mp_quality_col")
+
+    n_train = train.count()  # bounded: per-iteration user validations
+    if n_train == 0:
+        return pairs.withColumn(out_col, F.col(sim_col))
+    if method == "euzero":
+        thr = (n_train - 1) * 0.0 / 100          # :170 — always 0
+    elif method == "logdist":
+        thr = (n_train - 1) * dist_perc / 100    # :252
+    else:
+        thr = len(ssv_cols) * dist_perc / 100    # :326 (|ssv| columns)
+
+    if nn is None:
+        nn = nearest_validated(pairs, train, ssv_cols)
+    nn = nn.filter(F.col("nn_dist") <= thr)
     if forbidden is not None:
         nn = nn.join(
             forbidden.select("src_id", "dst_id"),
@@ -252,6 +268,7 @@ def extrapolating_dsi(
 
 
 __all__ = [
+    "nearest_validated",
     "propagate_feedback",
     "extrapolate_fs",
     "extrapolating_dsi",
