@@ -18,9 +18,25 @@ from ontologymatching_spark import benchqueries as B  # noqa: E402
 from ontologymatching_spark.session import get_spark  # noqa: E402
 
 
+def _release_query_state(spark) -> None:
+    """Free the previous query's cached/checkpointed state so later
+    queries measure their own plan, not 50 predecessors' leaked heap:
+    localCheckpoint RDDs are only unpersisted when the ContextCleaner
+    notices the dropped reference, which lags far behind a bench loop
+    (measured: skipgram_neg 206 s late in the suite vs 27 s standalone)."""
+    import gc
+
+    gc.collect()  # drop py refs so unpersist below can't break live DFs
+    spark.catalog.clearCache()
+    jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in list(jrdds.keySet().toArray()):
+        jrdds.get(rid).unpersist(False)
+
+
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     times: dict[str, float] = {}
     for name, fn in B.QUERIES.items():
+        _release_query_state(spark)
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count()  # force full execution
