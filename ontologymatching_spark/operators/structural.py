@@ -148,6 +148,24 @@ def ssc(
 _Q = float(1 << 40)
 
 
+def _round12_half_up(x: float) -> float:
+    """Bit-exact driver twin of Spark's ``F.round(col, 12)`` on doubles.
+    Spark rounds via ``BigDecimal.valueOf(double)`` — the SHORTEST
+    round-trip string (Double.toString), NOT the exact binary value — then
+    setScale(12, HALF_UP) → double. ``Decimal(repr(x))`` is the same
+    shortest-string construction (``Decimal(x)`` would take the exact
+    binary expansion and diverge, e.g. at 0.9999999999995), ``quantize``
+    with ROUND_HALF_UP the same rounding, ``float()`` the same
+    correctly-rounded narrowing (guarded by the test_sf_frontier round-twin
+    property test — including exact decimal .5 ties, where a half-even
+    rounder would diverge)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("1E-12"), rounding=ROUND_HALF_UP)
+    )
+
+
 def similarity_flooding(
     pairs: DataFrame,
     src_edges: DataFrame,
@@ -166,11 +184,36 @@ def similarity_flooding(
     sigma_{i+1} = normalize(sigma_0 + sigma_i + sum_in(coeff * sigma_i)),
     rounds capped at ROUND_MAX=10, convergence on max per-pair delta.
 
+    Scale design (round 4; bit-identical results to the naive loop, guarded
+    by ``tests/test_sf_frontier.py``):
+
+    * **connected/isolated split** — only pairs that are PCG *nodes* can
+      send or receive flow; every other pair evolves by the closed-form
+      per-row recurrence ``s ← round((s0 + s)/mx, 12)``. Isolated pairs
+      (the overwhelming majority under cross-source blocking, where the
+      doc-pair PCG is literally empty) are therefore NEVER materialized
+      per round: their contribution to the per-round normalization max and
+      convergence delta is ONE codegen aggregation scan with the recurrence
+      unrolled in the expression, and their final sigma is computed lazily
+      at the end. Only the (small) connected state is checkpointed.
+    * **frontier/delta inflow** — from round 2 on, the inflow join ships
+      only pairs whose sigma CHANGED last round; each changed source adds
+      ``q(c·s_new) − q(c·s_old)`` to the stored inflow. Exact because every
+      term is quantized to the 2^-40 grid before summing (see ``_Q``), so
+      incremental sums are bit-identical to full recomputation in any
+      order/engine.
+    * one ``localCheckpoint`` per round (raw state), with sigma derived as
+      a narrow projection, and ``s0`` carried in the state (no per-round
+      re-join against the base table).
+
     One scalar collect per round (not two): the aggregate returns BOTH the
     normalization max of this round's raw scores AND the convergence delta
     of the previous transition, so convergence is detected one iteration
     later at zero extra Spark jobs. ``stats['rounds']`` reports the number
     of sigma updates applied (guards the fusion in tests)."""
+    import time as _time
+
+    _t0 = _time.time()
     # materialize the base pair table once: it is referenced by the PCG
     # build (twice), the sigma init, AND every round's raw computation —
     # uncheckpointed, its upstream lineage (e.g. a full TF-IDF query) would
@@ -178,6 +221,7 @@ def similarity_flooding(
     sigma0 = pairs.select(
         "src_id", "dst_id", F.col("sim").alias("s0")
     ).localCheckpoint()
+    _t_input = _time.time()
 
     se = src_edges.select(
         F.col("child_id").alias("sa"), F.col("parent_id").alias("sb"),
@@ -196,19 +240,42 @@ def similarity_flooding(
     keys = sigma0.select(
         F.col("src_id").alias("from_src"), F.col("dst_id").alias("from_dst")
     )
+    # "to" candidates = pairs whose BOTH endpoints are parent ids — the only
+    # rows the existence check can ever hit. Pre-restricting sigma0 through
+    # two broadcast semi-joins against the (small) distinct-parent-id sets
+    # turns the final existence join from a pairs×pairs shuffle into
+    # broadcast-sized work (the to-candidate set is bounded by the graph's
+    # parent structure, not the candidate-pair count).
+    to_cands = (
+        sigma0
+        .join(F.broadcast(se.select(F.col("sb").alias("src_id")).distinct()),
+              "src_id", "semi")
+        .join(F.broadcast(de.select(F.col("db").alias("dst_id")).distinct()),
+              "dst_id", "semi")
+        .select(F.col("src_id").alias("to_src"), F.col("dst_id").alias("to_dst"))
+        .localCheckpoint()
+    )
+    to_cands_b = (
+        F.broadcast(to_cands) if to_cands.count() <= 2_000_000 else to_cands
+    )
+    # the edge maps (child→parent per side) are dimension-sized relative to
+    # the pair table: broadcast them when they fit so the pairs-first walk
+    # is a single narrow pass over cached sigma0 instead of two pairs-sized
+    # shuffles (measured at sf1: 24 s setup → ~10 s)
+    n_se = se.count()
+    n_de = de.count()
+    se_j = F.broadcast(se) if n_se <= 5_000_000 else se
+    de_j = F.broadcast(de) if n_de <= 5_000_000 else de
     fwd = (
         keys
-        .join(se, F.col("from_src") == F.col("sa"))
+        .join(se_j, F.col("from_src") == F.col("sa"))
         .join(
-            de.withColumnRenamed("pred", "pred_d"),
+            de_j.withColumnRenamed("pred", "pred_d"),
             (F.col("from_dst") == F.col("da"))
             & (F.col("pred") == F.col("pred_d")),
         )
         .join(
-            sigma0.select(
-                F.col("src_id").alias("to_src"),
-                F.col("dst_id").alias("to_dst"),
-            ),
+            to_cands_b,
             (F.col("sb") == F.col("to_src")) & (F.col("db") == F.col("to_dst")),
         )
         .select("from_src", "from_dst", "to_src", "to_dst")
@@ -217,64 +284,165 @@ def similarity_flooding(
         F.col("to_src").alias("from_src"), F.col("to_dst").alias("from_dst"),
         F.col("from_src").alias("to_src"), F.col("from_dst").alias("to_dst"),
     )
-    pcg = fwd.unionByName(bwd)
-    outdeg = pcg.groupBy("from_src", "from_dst").agg(
+    # materialize the edge list BEFORE the out-degree self-join: pcg0 is
+    # referenced twice (agg build + join probe) and its lineage contains the
+    # pairs-sized fwd walk — uncached, that walk would execute twice
+    pcg0 = fwd.unionByName(bwd).localCheckpoint()
+    outdeg = pcg0.groupBy("from_src", "from_dst").agg(
         F.count("*").alias("deg")
     )
-    pcg = pcg.join(outdeg, ["from_src", "from_dst"]).withColumn(
+    pcg = pcg0.join(outdeg, ["from_src", "from_dst"]).withColumn(
         "coeff", F.lit(1.0) / F.col("deg")
     ).localCheckpoint()
 
-    sigma = sigma0.select(
-        "src_id", "dst_id", F.col("s0").alias("s"),
+    # PCG node set (bwd mirrors fwd, so the from- and to-key sets coincide):
+    # these pairs — and ONLY these — participate in flow
+    nodes = pcg.select(
+        F.col("from_src").alias("src_id"), F.col("from_dst").alias("dst_id")
+    ).distinct().localCheckpoint()
+    n_conn = nodes.count()
+    n_iso = sigma0.count() - n_conn
+    # the node set is tiny relative to the pair table (it is bounded by the
+    # graph's edge structure, not the candidate-pair count): broadcast the
+    # semi/anti splits when it fits, else fall back to shuffle joins
+    nodes_b = F.broadcast(nodes) if n_conn <= 2_000_000 else nodes
+    iso = sigma0.join(nodes_b, ["src_id", "dst_id"], "left_anti")
+
+    def _iso_s(n_applied: int, mxs: list) -> "F.Column":
+        # the isolated-pair recurrence unrolled: identical double ops to the
+        # full-table path (raw = (s0+s)+0.0; s' = round(raw/mx, 12))
+        s = F.col("s0")
+        for k in range(n_applied):
+            s = F.round((F.col("s0") + s) / F.lit(mxs[k]), 12)
+        return s
+
+    # driver-side replay of the recurrence for the max-s0 isolated row:
+    # s_i(s0) is monotone nondecreasing in s0 (+, ÷mx>0 and HALF_UP round
+    # all preserve order), so this ONE row yields the EXACT isolated-side
+    # normalization max each round with zero scans, and a lower bound on
+    # the isolated convergence delta that skips the exact delta scan while
+    # a break is impossible (every op is replayed bit-identically:
+    # _round12_half_up is the driver twin of F.round(·, 12))
+    iso_s0max = iso.agg(F.max("s0")).collect()[0][0] if n_iso else None
+    iso_s_cur = iso_s0max
+    iso_s_prev: float | None = None
+
+    # connected state: (src_id, dst_id, s0, s, s_prev, inflow)
+    conn = sigma0.join(nodes_b, ["src_id", "dst_id"], "semi").select(
+        "src_id", "dst_id", "s0", F.col("s0").alias("s"),
         F.lit(None).cast("double").alias("s_prev"),
-    ).localCheckpoint()
+        F.lit(None).cast("double").alias("inflow"),
+    )
+    if n_conn:
+        conn = conn.localCheckpoint()
+    _t_setup = _time.time()
+    _n_scans = 0
+    mxs: list[float] = []
     rounds = 0
     for i in range(max_rounds):
-        inflow = (
-            pcg.join(
-                sigma.select(
+        conn_mx = conn_delta = None
+        if n_conn:
+            if i == 0:
+                # full inflow: every PCG source contributes q(coeff * s)
+                contrib = pcg.join(
+                    conn.select(
+                        F.col("src_id").alias("from_src"),
+                        F.col("dst_id").alias("from_dst"),
+                        F.col("s").alias("in_s"),
+                    ),
+                    ["from_src", "from_dst"],
+                ).groupBy("to_src", "to_dst").agg(
+                    F.sum(
+                        F.floor(F.col("coeff") * F.col("in_s") * _Q) / _Q
+                    ).alias("d")
+                )
+            else:
+                # frontier: only CHANGED sources re-enter the join; their
+                # grid-quantized contribution delta updates the stored
+                # inflow exactly (all terms are 2^-40 multiples)
+                changed = conn.filter(F.col("s") != F.col("s_prev")).select(
                     F.col("src_id").alias("from_src"),
                     F.col("dst_id").alias("from_dst"),
                     F.col("s").alias("in_s"),
-                ),
-                ["from_src", "from_dst"],
-            )
-            .groupBy("to_src", "to_dst")
-            .agg(
-                F.sum(
-                    F.floor(F.col("coeff") * F.col("in_s") * _Q) / _Q
-                ).alias("inflow")
-            )
-            .select(
+                    F.col("s_prev").alias("in_sp"),
+                )
+                contrib = pcg.join(
+                    changed, ["from_src", "from_dst"]
+                ).groupBy("to_src", "to_dst").agg(
+                    F.sum(
+                        F.floor(F.col("coeff") * F.col("in_s") * _Q) / _Q
+                        - F.floor(F.col("coeff") * F.col("in_sp") * _Q) / _Q
+                    ).alias("d")
+                )
+            contrib = contrib.select(
                 F.col("to_src").alias("src_id"),
                 F.col("to_dst").alias("dst_id"),
-                "inflow",
+                "d",
             )
+            conn = (
+                conn.join(contrib, ["src_id", "dst_id"], "left")
+                .select(
+                    "src_id", "dst_id", "s0", "s", "s_prev",
+                    (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.coalesce(F.col("d"), F.lit(0.0))
+                    ).alias("inflow"),
+                )
+                .withColumn(
+                    "raw",
+                    (F.col("s0") + F.col("s")) + F.col("inflow"),
+                )
+            ).localCheckpoint()  # the ONLY per-round materialization
+            crow = conn.agg(
+                F.max("raw").alias("mx"),
+                F.max(F.abs(F.col("s") - F.col("s_prev"))).alias("delta"),
+            ).collect()[0]
+            conn_mx, conn_delta = crow.mx, crow.delta
+        iso_mx = ((iso_s0max + iso_s_cur) + 0.0) if n_iso else None
+        # break check: the global delta is max(conn_delta, iso_delta); any
+        # part already >= epsilon forecloses the break, so the exact
+        # isolated delta scan only runs when a break is still on the table
+        may_break = i > 0 and not (
+            conn_delta is not None and conn_delta >= epsilon
         )
-        raw = (
-            sigma0.join(sigma, ["src_id", "dst_id"])
-            .join(inflow, ["src_id", "dst_id"], "left")
-            .select(
-                "src_id", "dst_id", "s", "s_prev",
-                (F.col("s0") + F.col("s") + F.coalesce(F.col("inflow"), F.lit(0.0))
-                 ).alias("raw"),
-            )
-        ).localCheckpoint()
-        # ONE job per round: normalization max + previous-round delta fused
-        row = raw.agg(
-            F.max("raw").alias("mx"),
-            F.max(F.abs(F.col("s") - F.col("s_prev"))).alias("delta"),
-        ).collect()[0]
-        if i > 0 and row.delta is not None and row.delta < epsilon:
-            break
-        mx = row.mx or 1.0
-        sigma = raw.select(
-            "src_id", "dst_id",
-            F.round(F.col("raw") / F.lit(mx), 12).alias("s"),
-            F.col("s").alias("s_prev"),
-        ).localCheckpoint()
+        iso_delta = None
+        if n_iso and i > 0:
+            bound = abs(iso_s_cur - iso_s_prev)
+            if bound >= epsilon:
+                may_break = False
+            elif may_break:
+                _n_scans += 1
+                iso_delta = iso.agg(
+                    F.max(F.abs(_iso_s(i, mxs) - _iso_s(i - 1, mxs)))
+                ).collect()[0][0]
+        if may_break:
+            deltas = [d for d in (conn_delta, iso_delta) if d is not None]
+            if deltas and max(deltas) < epsilon:
+                break
+        cands = [m for m in (conn_mx, iso_mx) if m is not None]
+        mx = (max(cands) if cands else None) or 1.0
+        if n_conn:
+            conn = conn.select(
+                "src_id", "dst_id", "s0",
+                F.round(F.col("raw") / F.lit(mx), 12).alias("s"),
+                F.col("s").alias("s_prev"),
+                "inflow",
+            )  # narrow projection of the checkpointed raw state — no 2nd write
+        mxs.append(mx)
         rounds += 1
+        if n_iso:
+            iso_s_prev = iso_s_cur
+            iso_s_cur = _round12_half_up((iso_s0max + iso_s_cur) / mx)
     if stats is not None:
         stats["rounds"] = rounds
-    return sigma.select("src_id", "dst_id", F.col("s").alias("sim_sf"))
+        stats["n_conn"] = n_conn
+        stats["n_iso"] = n_iso
+        stats["iso_delta_scans"] = _n_scans
+        stats["t_input"] = round(_t_input - _t0, 3)
+        stats["t_setup"] = round(_t_setup - _t_input, 3)
+        stats["t_rounds"] = round(_time.time() - _t_setup, 3)
+    out_iso = iso.select("src_id", "dst_id", _iso_s(rounds, mxs).alias("sim_sf"))
+    if not n_conn:
+        return out_iso
+    out_conn = conn.select("src_id", "dst_id", F.col("s").alias("sim_sf"))
+    return out_conn.unionByName(out_iso) if n_iso else out_conn
