@@ -384,22 +384,44 @@ WHERE ROUND(CASE WHEN u_n = 0 THEN 1.0 ELSE i_n / u_n END, 6) >= 0.3
 """
 
 
+# Dense-vector TF-IDF plan gate: vocabularies at or under this size take the
+# dense path (per-doc fixed-width vectors + vectorized pair dot product, no
+# term-level join); larger vocabularies keep the sparse inverted term join.
+# Both plans compute the same cosine (the dense fold adds exact 0.0 for
+# absent terms); override with SPARK_GRAFT_TFIDF_DENSE=0|1 to force a path.
+_TFIDF_DENSE_MAX_VOCAB = 4096
+
+
 def q_tfidf_cosine_pairs(spark, sf_dir):
     """VMM semantics: corpus-level TF-IDF + sparse cosine on blocked pairs
-    (MultiWordsMatcher.java:103-176,469-479), fully JVM-side."""
+    (MultiWordsMatcher.java:103-176,469-479), fully JVM-side.
+
+    Plan is vocabulary-adaptive (round 4): the sparse form joins each blocked
+    pair against the src doc's term rows and intersects on term — at sf1
+    that is a 483M-row shuffle (20.8M pairs × ~23 terms/doc) even though the
+    corpus dictionary has only a few dozen distinct terms. When the
+    vocabulary fits a fixed-width vector (≤ _TFIDF_DENSE_MAX_VOCAB), build
+    per-doc DENSE tf-idf vectors over the sorted term dictionary instead and
+    compute the pair dot product as a zip_with fold: the pair join becomes
+    one narrow broadcast stage with zero term-level rows (measured sf1:
+    ~55 s → ~6 s). Values are identical — absent terms contribute an exact
+    +0.0 to the fold, and the 6-decimal rounding absorbs summation-order
+    noise exactly as the sparse-vs-DuckDB comparison already does."""
+    import os
+
     d = load(spark, sf_dir, "documents")
     docs = d.select(
         "doc_id", F.explode(_doc_tokens(F.col("text"))).alias("term")
     ).filter(F.length("term") > 0)
     n_docs = d.count()
-    tf = docs.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = docs.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    w = tf.join(dfreq, "term").withColumn(
-        "w", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
-    )
-    norms = w.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
-    )
+    # tf is the root of everything downstream (df derives from it: one row
+    # per (doc, term) makes count(*) per term == count_distinct(doc_id));
+    # checkpoint it so the token explode runs once, not once per branch
+    tf = docs.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    ).localCheckpoint()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
     names = _doc_names(spark, sf_dir).select("doc_id", "block_key")
     s = names.filter(F.col("doc_id") % 2 == 0).select(
         F.col("doc_id").alias("src_doc_id"), "block_key"
@@ -408,6 +430,93 @@ def q_tfidf_cosine_pairs(spark, sf_dir):
         F.col("doc_id").alias("dst_doc_id"), "block_key"
     )
     pairs = s.join(dd, "block_key").select("src_doc_id", "dst_doc_id")
+
+    dense_env = os.environ.get("SPARK_GRAFT_TFIDF_DENSE", "")
+    n_terms = dfreq.count()
+    use_dense = (
+        dense_env == "1"
+        or (dense_env != "0" and n_terms <= _TFIDF_DENSE_MAX_VOCAB)
+    )
+
+    if use_dense:
+        terms = sorted(
+            r.term for r in dfreq.select("term").collect()
+        )
+        term_idx = spark.createDataFrame(
+            [(t, i) for i, t in enumerate(terms)], "term string, idx int"
+        )
+        wv = tf.join(F.broadcast(dfreq), "term").join(
+            F.broadcast(term_idx), "term"
+        ).withColumn(
+            "w", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+        )
+        zero = F.lit(0.0)
+        vecs = (
+            wv.groupBy("doc_id")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("idx", "w"))
+                ).alias("m")
+            )
+            .select(
+                "doc_id",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_terms - 1)),
+                    lambda i: F.coalesce(F.element_at(F.col("m"), i), zero),
+                ).alias("vec"),
+            )
+            .withColumn(
+                "nrm",
+                F.sqrt(
+                    F.aggregate(
+                        F.col("vec"), zero, lambda a, x: a + x * x
+                    )
+                ),
+            )
+            .localCheckpoint()  # referenced twice (src + dst broadcast)
+        )
+        # one doc-vector row is (id, V doubles, nrm): broadcast when the
+        # whole table fits, else let AQE pick the join
+        vec_bytes = vecs.count() * (n_terms + 2) * 8
+        def _side(df):
+            return F.broadcast(df) if vec_bytes <= 64 << 20 else df
+        sv = vecs.select(
+            F.col("doc_id").alias("src_doc_id"),
+            F.col("vec").alias("s_vec"), F.col("nrm").alias("s_nrm"),
+        )
+        dv = vecs.select(
+            F.col("doc_id").alias("dst_doc_id"),
+            F.col("vec").alias("d_vec"), F.col("nrm").alias("d_nrm"),
+        )
+        return (
+            pairs.join(_side(sv), "src_doc_id")
+            .join(_side(dv), "dst_doc_id")
+            .withColumn(
+                "dot",
+                F.aggregate(
+                    F.zip_with(
+                        F.col("s_vec"), F.col("d_vec"), lambda a, b: a * b
+                    ),
+                    zero,
+                    lambda a, x: a + x,
+                ),
+            )
+            .withColumn(
+                "cosine",
+                F.round(F.col("dot") / (F.col("s_nrm") * F.col("d_nrm")), 6),
+            )
+            .filter(F.col("cosine") >= 0.2)
+            .select("src_doc_id", "dst_doc_id", "cosine")
+        )
+
+    # sparse inverted-index path (real vocabularies): term-join restricted
+    # to blocked candidate pairs, never all-pairs
+    w = tf.join(dfreq, "term").withColumn(
+        "w", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
     sw = w.select(F.col("doc_id").alias("src_doc_id"), "term", F.col("w").alias("sw"))
     dw = w.select(F.col("doc_id").alias("dst_doc_id"), "term", F.col("w").alias("dw"))
     dots = (
@@ -4572,13 +4681,29 @@ ROWS_ONLY_QUERIES = {}
 # registry
 # ---------------------------------------------------------------------------
 
+# Registry order matters operationally: the driver's CORRECTNESS check
+# records only the FIRST 50 entries, so the 18 queries it had never verified
+# through round 3 (VERDICT r03 "Next round #3") lead the dict and rotate into
+# the hard signal; the long-verified TPC-H-ish staples close the list.
 QUERIES = {
-    "pricing_summary": q_pricing_summary,
-    "top_revenue_orders": q_top_revenue_orders,
-    "topk_orders_per_customer": q_topk_orders_per_customer,
-    "region_rollup": q_region_rollup,
-    "events_sessionize": q_events_sessionize,
-    "events_hourly": q_events_hourly,
+    "one_to_one_full": q_one_to_one_full,
+    "similarity_flooding_docs": q_similarity_flooding_docs,
+    "minhash_cc_clusters": q_minhash_cc_clusters,
+    "mssg_context_vectors": q_mssg_context_vectors,
+    "mssg_senses": q_mssg_senses,
+    "ufl_quality": q_ufl_quality,
+    "structural_boost": q_structural_boost,
+    "lexicon_match": q_lexicon_match,
+    "best_match_boost": q_best_match_boost,
+    "instance_linking": q_instance_linking,
+    "bsm_cascade": q_bsm_cascade,
+    "contamination_check": q_contamination_check,
+    "pii_scrub": q_pii_scrub,
+    "repetition_profile": q_repetition_profile,
+    "stratified_mix": q_stratified_mix,
+    "streaming_decontam": q_streaming_decontam,
+    "doc_chunks": q_doc_chunks,
+    "doc_packing": q_doc_packing,
     "lev_blocked_pairs": q_lev_blocked_pairs,
     "qgram_jaccard_pairs": q_qgram_jaccard_pairs,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
@@ -4623,24 +4748,12 @@ QUERIES = {
     "fs_extrapolation": q_fs_extrapolation,
     "skipgram_neg": q_skipgram_neg,
     "joslyn_distance_quality": q_joslyn_distance_quality,
-    "one_to_one_full": q_one_to_one_full,
-    "similarity_flooding_docs": q_similarity_flooding_docs,
-    "minhash_cc_clusters": q_minhash_cc_clusters,
-    "mssg_context_vectors": q_mssg_context_vectors,
-    "mssg_senses": q_mssg_senses,
-    "ufl_quality": q_ufl_quality,
-    "structural_boost": q_structural_boost,
-    "lexicon_match": q_lexicon_match,
-    "best_match_boost": q_best_match_boost,
-    "instance_linking": q_instance_linking,
-    "bsm_cascade": q_bsm_cascade,
-    "contamination_check": q_contamination_check,
-    "pii_scrub": q_pii_scrub,
-    "repetition_profile": q_repetition_profile,
-    "stratified_mix": q_stratified_mix,
-    "streaming_decontam": q_streaming_decontam,
-    "doc_chunks": q_doc_chunks,
-    "doc_packing": q_doc_packing,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "topk_orders_per_customer": q_topk_orders_per_customer,
+    "region_rollup": q_region_rollup,
+    "events_sessionize": q_events_sessionize,
+    "events_hourly": q_events_hourly,
     **ROWS_ONLY_QUERIES,
 }
 
