@@ -39,6 +39,51 @@ def test_long_chain_converges(spark):
     assert len(out) == n + 1
 
 
+def test_star_equals_hash_min_random_graphs(spark):
+    """Large-star/small-star must produce the identical (entity, min-label)
+    table as plain hash-min propagation on random graphs."""
+    import numpy as np
+
+    for seed in (3, 17):
+        rng = np.random.default_rng(seed)
+        n = 60
+        pairs = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, size=(80, 2))
+            if a != b
+        ]
+        star = components.connected_components(_edges(spark, pairs)).toPandas()
+        ref = components.hash_min_components(_edges(spark, pairs)).toPandas()
+        got = dict(zip(star["entity_id"], star["component_id"]))
+        want = dict(zip(ref["entity_id"], ref["component_id"]))
+        assert got == want
+
+
+def test_star_chain_round_count(spark):
+    """The planted 1000-chain: hash-min needs O(diameter) ≈ 1000 rounds
+    (it cannot converge under any sane cap); the star alternation finishes
+    in O(log n) rounds with the correct single component."""
+    n = 1000
+    stats: dict = {}
+    out = components.connected_components(
+        _edges(spark, [(i, i + 1) for i in range(n)]),
+        max_rounds=50,
+        stats=stats,
+    ).toPandas()
+    assert set(out["component_id"]) == {0}
+    assert len(out) == n + 1
+    assert stats["rounds"] <= 15  # log-scale, not diameter-scale
+
+    # hash-min on a short chain for the round-count contrast (a full 1000
+    # chain would need ~1000 rounds — the very pathology star removes)
+    h: dict = {}
+    components.hash_min_components(
+        _edges(spark, [(i, i + 1) for i in range(32)]),
+        max_rounds=50, stats=h,
+    )
+    assert h["rounds"] > 15  # diameter-bound
+
+
 def test_matrix_algebra(spark):
     """Sparse pair-table matrix ops: transpose / plus / times vs dense numpy."""
     import numpy as np
