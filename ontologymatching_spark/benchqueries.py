@@ -4583,7 +4583,7 @@ v0 AS (
          {fg("pow(cnt, 0.75)")} AS p_raw
   FROM counts
 ),
-v1 AS (SELECT *, p_raw / (SELECT SUM(p_raw) FROM v0) AS p FROM v0),
+v1 AS (SELECT *, {fg("p_raw / (SELECT SUM(p_raw) FROM v0)")} AS p FROM v0),
 vocab AS (
   SELECT word, word_id, cnt,
          SUM(p) OVER (ORDER BY word_id ROWS UNBOUNDED PRECEDING) - p AS lo,

@@ -234,30 +234,91 @@ def _fg(c):
     return F.floor(c * SG_GRID) / SG_GRID
 
 
-def skipgram_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def skipgram_vocab(
+    docs: DataFrame, text_col: str = "text", n_parts: int | None = None
+) -> DataFrame:
     """(word, word_id, cnt, lo, hi): vocabulary with the unigram^0.75
     negative-sampling CDF (VocabBuilder.scala:150-165 builds the same
     distribution as a 10^8-slot discretized table; here the exact CDF is a
-    2-column range, engine-portable: pow floored to the grid, cumulative
-    sum in word_id order — identical left-to-right IEEE adds in any
-    engine). word_id = alphabetic rank (deterministic)."""
+    2-column range, engine-portable). word_id = alphabetic rank.
+
+    Fully distributed (round 4; the previous version forced the whole
+    vocabulary through ONE task via a global ``Window.orderBy`` and a
+    global cumulative sum — a real bottleneck at web-corpus vocab sizes):
+
+    * rank: range-partition by word, per-partition ``row_number``, plus
+      driver-prefixed per-partition row-count offsets (exact integers).
+    * CDF: the normalized probability is floored onto the 2^-20 grid
+      (``p = _fg(p_raw / tot)``), so every partial sum is an exact
+      multiple of 2^-20 with total ≤ 1 — exactly representable and
+      therefore ORDER-INDEPENDENT. The per-partition running sum plus
+      driver-prefixed partition totals is then bit-identical to a single
+      global left-to-right pass, to any other summation order, and to any
+      other engine. This also makes ``lo = hi0 − p`` exact (an exact
+      difference of grid multiples equals the previous row's hi0
+      bit-for-bit), so the CDF buckets partition [0,1) with no ulp
+      gap/overlap for a grid-valued draw to fall into.
+    * exact-sum budgets: ``tot = Σ p_raw`` sums 2^-20 multiples exactly
+      while the total stays under 2^33 (Σ cnt^0.75 over the vocabulary) —
+      same budget the previous global pass relied on; beyond it, re-grid
+      p_raw to a coarser power of two.
+    """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     counts = (
         docs.select(F.explode(toks).alias("word"))
         .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.orderBy("word")
-    v = counts.withColumn(
-        "word_id", F.row_number().over(w) - 1
-    ).withColumn("p_raw", _fg(F.pow(F.col("cnt"), F.lit(0.75))))
-    tot = v.agg(F.sum("p_raw").alias("tot"))
-    v = v.crossJoin(F.broadcast(tot)).withColumn(
-        "p", F.col("p_raw") / F.col("tot")
+    spark = docs.sparkSession
+    P = n_parts or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    cum = Window.orderBy("word_id").rowsBetween(Window.unboundedPreceding, 0)
-    nv = v.count()
+    part = (
+        counts.repartitionByRange(P, "word")
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn("p_raw", _fg(F.pow(F.col("cnt"), F.lit(0.75))))
+        .localCheckpoint()
+    )
+    # phase 1: per-partition row counts + raw-mass totals (grid-exact in
+    # any order), prefixed on the driver
+    info = {
+        r.pid: (r.n, r.praw)
+        for r in part.groupBy("pid").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("p_raw").alias("praw")
+        ).collect()
+    }
+    if not info:
+        return part.select(
+            "word", F.lit(0).alias("word_id"), "cnt",
+            F.lit(0.0).alias("lo"), F.lit(0.0).alias("hi"),
+        ).limit(0)
+    tot = float(sum(info[pid][1] for pid in sorted(info)))
+    nv = sum(info[pid][0] for pid in sorted(info))
+    part = part.withColumn("p", _fg(F.col("p_raw") / F.lit(tot)))
+    # phase 2: per-partition p totals (exact grid sums), prefixed on the
+    # driver into per-partition CDF offsets
+    psums = {
+        r.pid: r.ps
+        for r in part.groupBy("pid").agg(F.sum("p").alias("ps")).collect()
+    }
+    id_off, cum_off, acc_n, acc_p = {}, {}, 0, 0.0
+    for pid in sorted(info):
+        id_off[pid] = acc_n
+        cum_off[pid] = acc_p
+        acc_n += info[pid][0]
+        acc_p += psums[pid]
+    offs = spark.createDataFrame(
+        [(pid, id_off[pid], cum_off[pid]) for pid in sorted(info)],
+        "pid int, id_off long, cum_off double",
+    )
+    wloc = Window.partitionBy("pid").orderBy("word")
+    cumw = (
+        Window.partitionBy("pid").orderBy("word")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return (
-        v.withColumn("hi0", F.sum("p").over(cum))
+        part.join(F.broadcast(offs), "pid")
+        .withColumn("word_id", F.col("id_off") + F.row_number().over(wloc) - 1)
+        .withColumn("hi0", F.col("cum_off") + F.sum("p").over(cumw))
         .withColumn("lo", F.col("hi0") - F.col("p"))
         .withColumn(
             "hi",

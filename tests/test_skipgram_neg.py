@@ -32,7 +32,10 @@ def py_vocab(texts):
     for p in p_raw:
         tot += p
     cum, lo_hi = 0.0, []
-    ps = [p / tot for p in p_raw]
+    # p floored to the grid AFTER normalization (matches skipgram_vocab's
+    # round-4 distributed CDF: partial sums become exact 2^-20 multiples,
+    # order-independent, and lo = hi0 - p exactly equals the previous hi)
+    ps = [fg(p / tot) for p in p_raw]
     for i, p in enumerate(ps):
         lo = cum
         cum = cum + p
