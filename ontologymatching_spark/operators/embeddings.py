@@ -147,6 +147,8 @@ def mssg_sense_vectors(
     n_iter: int = 5,
     min_contexts: int = 4,
     quantize_pow2: int | None = None,
+    dpmeans: bool = False,
+    create_lambda: float = 0.5,
 ) -> DataFrame:
     """Multi-Sense Skip-Gram sense discovery — the reference thesis's MSSG
     trainer re-expressed batch-side (skipgram/src/
@@ -166,7 +168,20 @@ def mssg_sense_vectors(
     double, so assignments and centroids are bit-identical in ANY
     summation order and in any engine — which is what lets the bounded
     k-means unroll into a DuckDB CTE twin (benchqueries.SQL_MSSG_SENSES).
-    → (word, sense, sense_vec: array<double>, n_contexts)."""
+    → (word, sense, sense_vec: array<double>, n_contexts).
+
+    ``dpmeans=True`` (round 4) runs the reference's NONPARAMETRIC variant
+    instead (MultiSenseSkipGramEmbeddingModel.scala:111-140
+    ``cbow_predict_dpmeans``): one sequential pass over the word's contexts
+    in (doc_id, pos) order — the stream order of the reference trainer —
+    assigning each context to the sense with minimal 1 − cosine(ctx, μ_s)
+    where μ_s = running-sum/count, and CREATING a new sense whenever
+    min-dist > ``create_lambda`` while under the ``n_senses`` cap
+    (:129-136); the first context self-initializes sense 0 the same way
+    (no clusters → min-dist = +inf > λ). Centers update online
+    (center += ctx, count += 1, :138-140). The per-word pass is sequential
+    inside applyInPandas, so results are deterministic at any parallelism;
+    with ``quantize_pow2`` the context grid makes the running sums exact."""
     import pandas as pd
 
     def kmeans(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -178,6 +193,42 @@ def mssg_sense_vectors(
         if quantize_pow2 is not None:
             grid = float(1 << quantize_pow2)
             X = np.floor(X * grid) / grid
+        if dpmeans:
+            # online DP-means stream over the contexts (reference order)
+            sums: list = []   # running center SUMS (:121 divides by count)
+            cnts: list = []
+            assign = np.zeros(len(X), dtype="int64")
+            for idx in range(len(X)):
+                x = X[idx]
+                sense, min_dist = 0, np.inf
+                for s in range(len(sums)):
+                    mu = sums[s] / cnts[s]
+                    denom = float(np.linalg.norm(x) * np.linalg.norm(mu))
+                    cos = float(x @ mu) / denom if denom > 0 else 0.0
+                    dist = 1.0 - cos
+                    if dist < min_dist:  # first-min tie-break (:124-127)
+                        min_dist = dist
+                        sense = s
+                if len(sums) < n_senses and create_lambda < min_dist:
+                    sums.append(np.zeros_like(x))
+                    cnts.append(0)
+                    sense = len(sums) - 1
+                sums[sense] = sums[sense] + x
+                cnts[sense] += 1
+                assign[idx] = sense
+            k = len(sums)
+            C = np.array([sums[j] / cnts[j] for j in range(k)])
+            if quantize_pow2 is not None:
+                C = np.floor(C * grid) / grid
+            counts = np.bincount(assign, minlength=k)
+            return pd.DataFrame(
+                {
+                    "word": [word] * k,
+                    "sense": np.arange(k, dtype="int64"),
+                    "sense_vec": [C[j].tolist() for j in range(k)],
+                    "n_contexts": counts.astype("int64"),
+                }
+            )
         k = min(n_senses, len(X))
         C = X[:k].copy()
         assign = np.zeros(len(X), dtype="int64")

@@ -66,6 +66,89 @@ def test_mssg_respects_min_contexts(spark):
     assert "bank" in words and "money" not in words
 
 
+def _py_dpmeans(ctx_rows, n_senses, lam, grid_bits=20):
+    """Pure-Python port of cbow_predict_dpmeans
+    (MultiSenseSkipGramEmbeddingModel.scala:111-140): sequential stream in
+    (doc_id, pos) order, dist = 1 - cosine(ctx, running-sum/count), new
+    cluster when min-dist > lambda under the S cap, online center update."""
+    import numpy as np
+
+    grid = float(1 << grid_bits)
+    by_word: dict = {}
+    for doc_id, pos, word, vec in sorted(ctx_rows):
+        x = np.floor(np.array(vec, dtype="float64") * grid) / grid
+        sums, cnts, assign = by_word.setdefault(word, ([], [], []))
+        sense, min_dist = 0, float("inf")
+        for s in range(len(sums)):
+            mu = sums[s] / cnts[s]
+            denom = float(np.linalg.norm(x) * np.linalg.norm(mu))
+            cos = float(x @ mu) / denom if denom > 0 else 0.0
+            if 1.0 - cos < min_dist:
+                min_dist = 1.0 - cos
+                sense = s
+        if len(sums) < n_senses and lam < min_dist:
+            sums.append(np.zeros_like(x))
+            cnts.append(0)
+            sense = len(sums) - 1
+        sums[sense] = sums[sense] + x
+        cnts[sense] += 1
+        assign.append(sense)
+    out = {}
+    for word, (sums, cnts, assign) in by_word.items():
+        cents = [
+            tuple(np.floor((sums[j] / cnts[j]) * grid) / grid)
+            for j in range(len(sums))
+        ]
+        counts = [assign.count(j) for j in range(len(sums))]
+        out[word] = (cents, counts)
+    return out
+
+
+def test_mssg_dpmeans_parity_with_reference_port(spark):
+    """NP-MSSG: the dpmeans=True path must reproduce the pure-Python port
+    of the reference's nonparametric sense loop exactly (grid-quantized),
+    discovering the number of senses from the data."""
+    import numpy as np
+
+    docs, vectors = _fixture(spark)
+    ctx = context_vectors(docs, vectors, window=2)
+    rows = [
+        (r.doc_id, r.pos, r.word, tuple(r.ctx))
+        for r in ctx.collect()
+    ]
+    # only words with >= 4 contexts survive (operator's min_contexts)
+    eligible = {w for w in {r[2] for r in rows}
+                if sum(1 for r in rows if r[2] == w) >= 4}
+    want = _py_dpmeans(
+        [r for r in rows if r[2] in eligible], n_senses=4, lam=0.5
+    )
+    got = mssg_sense_vectors(
+        ctx, n_senses=4, min_contexts=4, quantize_pow2=20,
+        dpmeans=True, create_lambda=0.5,
+    ).collect()
+    got_by_word: dict = {}
+    for r in got:
+        cents, counts = got_by_word.setdefault(r.word, ([], []))
+        cents.append((r.sense, tuple(r.sense_vec)))
+        counts.append((r.sense, r.n_contexts))
+    assert set(got_by_word) == set(want)
+    for w, (cents, counts) in want.items():
+        g_cents = [v for _, v in sorted(got_by_word[w][0])]
+        g_counts = [c for _, c in sorted(got_by_word[w][1])]
+        assert g_counts == counts, w
+        assert len(g_cents) == len(cents), w
+        for a, b in zip(g_cents, cents):
+            assert np.array_equal(np.array(a), np.array(b)), w
+    # 'bank' must have discovered BOTH senses nonparametrically
+    assert len(want["bank"][0]) == 2
+    # and at a huge lambda no second sense is ever created
+    one = mssg_sense_vectors(
+        ctx, n_senses=4, min_contexts=4, quantize_pow2=20,
+        dpmeans=True, create_lambda=10.0,
+    ).filter("word = 'bank'").collect()
+    assert len(one) == 1
+
+
 def test_mssg_quantized_matches_unquantized_clustering(spark):
     """quantize_pow2 (the 2^-20 grid that makes the DuckDB oracle exact)
     must not change the discovered clustering on well-separated senses —
