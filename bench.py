@@ -28,9 +28,19 @@ def _release_query_state(spark) -> None:
 
     gc.collect()  # drop py refs so unpersist below can't break live DFs
     spark.catalog.clearCache()
-    jrdds = spark.sparkContext._jsc.getPersistentRDDs()
-    for rid in list(jrdds.keySet().toArray()):
-        jrdds.get(rid).unpersist(False)
+    # INVARIANT: no cached/checkpointed state may outlive one query — every
+    # bench query rebuilds its own caches from the parquet inputs. The sweep
+    # below walks the JVM's persistent-RDD registry through the private
+    # _jsc gateway (no public PySpark API exposes it); if that private API
+    # shifts in a future Spark, skip the sweep rather than fail the bench —
+    # the cost is only the late-suite heap-pressure skew it was added for.
+    try:
+        jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jrdds.keySet().toArray()):
+            jrdds.get(rid).unpersist(False)
+    except Exception as exc:  # pragma: no cover — private-API drift guard
+        print(f"  [bench] persistent-RDD sweep unavailable: {exc}",
+              file=sys.stderr, flush=True)
 
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
