@@ -270,3 +270,257 @@ def lwc_quality_weighted(pairs_sims: DataFrame, sim_cols: list[str]) -> DataFram
     return out.withColumn(
         "sim", F.when(den > 0, num / den).otherwise(F.lit(0.0))
     ).drop(*qcols)
+
+
+# ---------------------------------------------------------------------------
+# ASM — content-word sub-matrix (AdvancedSimilarityMatcher.java:31-533)
+# ---------------------------------------------------------------------------
+
+# word lists from AdvancedSimilarityMatcher.initializeVariables (:547-562)
+# and BaseSimilarityMatcher.isNonContent (:608-627)
+ASM_ISHAS = ["is", "are", "was", "were", "has", "have"]
+ASM_PREP = ["to", "at", "as", "in", "on", "of", "by", "for"]
+ASM_BASE_NONCONTENT = [
+    "the", "is", "this", "are", "to", "a", "e", "an", "in", "or", "and",
+    "for", "that",
+]
+# ASM.isNonContent(s) = base nonContent OR relevant (isHas ∪ prep) (:499-502)
+ASM_NONCONTENT = sorted(
+    set(ASM_BASE_NONCONTENT) | set(ASM_ISHAS) | set(ASM_PREP)
+)
+
+
+def asm_weight_tables(max_tokens: int):
+    """Literal lookup tables for ASM computeValue (:451-491), precomputed in
+    Python so both engines (Spark and the DuckDB oracle) evaluate identical
+    doubles — exp/atan are never computed engine-side.
+
+    Returns (svc, add): svc[d] = start_value_contribution for word distance
+    d; add[(d, a)] = distContribution + quantityContribution for word
+    distance d and integer-divided average word count a = (s+t)//2 — the
+    reference's (sSize+tSize)/2 is Java INTEGER division (:322)."""
+    import math
+
+    def weights(d):
+        if d == 0:
+            return 1.0, 0.0, 0.0
+        if d == 1:
+            return 0.75, 0.0, 0.25
+        if d == 2:
+            return 0.65, 0.0, 0.35
+        return 0.60, 0.15, 0.25
+
+    svc, add = {}, {}
+    for d in range(max_tokens + 1):
+        sv, wd, aw = weights(d)
+        svc[d] = sv
+        for a in range(max_tokens + 1):
+            dist = (1.0 - math.exp(d - 2.5)) * wd
+            quant = (1.0 / math.pi * math.atan(a - 3) + 0.5) * aw
+            add[(d, a)] = dist + quant
+    return svc, add
+
+
+def asm_noncontent_outcome(src_toks, dst_toks):
+    """Column: the nonContentWordCheck (:339-398) result over two lowercased
+    token arrays — -1.0 (NO_MATCH), a 0.05 bonus, or 0.0.
+
+    The reference's scan is position-dependent; re-expressed per source
+    token s (restricted to the relevant words isHas ∪ prep, since the outer
+    guard isNonContent(s) && isRelevantString(s) reduces to relevance):
+
+      pos_eq   = first position of s itself among the relevant dst tokens
+      pos_conf = first position of a same-class (isHas/isHas or prep/prep)
+                 UNEQUAL relevant dst token
+      outcome  = NO_MATCH  if pos_conf exists and precedes any pos_eq
+                 (the reference returns NO_MATCH the moment it is seen;
+                 an earlier equal token `break`s the scan first — :372-386)
+               | 0.05      if pos_eq exists (first-equal break)
+               | 0.0       if any relevant dst token was scanned
+               | unassigned otherwise (simValue keeps its prior value)
+
+    Overall: NO_MATCH if ANY source token's outcome is NO_MATCH (the return
+    interrupts everything); else the LAST assigned outcome (later source
+    tokens overwrite simValue); else 0.0."""
+    rel = ASM_ISHAS + ASM_PREP
+    rel_s = F.filter(src_toks, lambda x: x.isin(rel))
+    rel_d = F.filter(dst_toks, lambda x: x.isin(rel))
+
+    def outcome(s):
+        pos_eq = F.array_position(rel_d, s)
+        pos_conf = F.array_min(
+            F.transform(
+                rel_d,
+                lambda t, j: F.when(
+                    (
+                        (s.isin(ASM_ISHAS) & t.isin(ASM_ISHAS))
+                        | (s.isin(ASM_PREP) & t.isin(ASM_PREP))
+                    )
+                    & (t != s),
+                    j + 1,
+                ),
+            )
+        )
+        return (
+            F.when(
+                pos_conf.isNotNull()
+                & ((pos_eq == 0) | (pos_conf < pos_eq)),
+                F.lit(-1.0),
+            )
+            .when(pos_eq > 0, F.lit(0.05))
+            .when(F.size(rel_d) > 0, F.lit(0.0))
+        )
+
+    outcomes = F.transform(rel_s, outcome)
+    assigned = F.filter(outcomes, lambda o: o.isNotNull())
+    return F.when(
+        F.exists(outcomes, lambda o: o == -1.0), F.lit(-1.0)
+    ).otherwise(
+        F.when(F.size(assigned) > 0, F.element_at(assigned, -1)).otherwise(
+            F.lit(0.0)
+        )
+    )
+
+
+def asm_advanced_sim(
+    pairs: DataFrame,
+    kernel=None,
+    max_tokens: int = 8,
+) -> DataFrame:
+    """ASM content-word sub-matrix similarity
+    (AdvancedSimilarityMatcher.java:154-323) — the round-3 VERDICT's missing
+    item #2 (the sorted-token inversion tier covers only token-reorder
+    equality; this is the full per-token sub-matrix).
+
+    Input: (src_id, dst_id, src_toks, dst_toks) candidate pairs with
+    order-preserved token arrays. Output: (src_id, dst_id, asm_sim) for
+    pairs the reference would map (NO_MATCH and sim<=0 pairs dropped, as
+    alignWithoutProfiling returns null for them :222-240).
+
+    Plan (scale-first):
+      1. token arrays are sliced to ``max_tokens`` and lowercased JVM-side;
+         the nonContent bonus/NO_MATCH state machine is pure array HOFs
+         (no shuffle, no UDF);
+      2. content words (non-``ASM_NONCONTENT``) are posexploded into the
+         per-pair token grid — grid size is bounded by max_tokens², never
+         corpus-dependent;
+      3. ``kernel(s, t)`` scores each cell (default: the reference's
+         AMSUB_AND_EDIT pandas UDF, simkernels.py; any (Column,Column)→
+         Column works), rounded to the 1e-6 integer grid so greedy
+         selection compares exact longs in any engine;
+      4. greedy 1-1 per pair (chooseBestN over the local matrix :313) runs
+         in ONE applyInPandas pass — groups are ≤max_tokens² rows, the same
+         per-component pattern as assignment.py; returns the selected-cell
+         sum so the mean sim is sum/(min(ns,nt)·1e6) — greedy over a full
+         grid always selects exactly min(ns, nt) cells;
+      5. computeValue (:451-491) uses the literal asm_weight_tables CASE
+         chain — exp/atan precomputed, expression shape
+         ``mean*svc + add`` identical in the DuckDB twin.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    from ..functions.spark_sims import amsub_edit_udf
+
+    if kernel is None:
+        kernel = amsub_edit_udf
+
+    low = lambda c: F.transform(  # noqa: E731
+        F.slice(c, 1, max_tokens), lambda x: F.lower(x)
+    )
+    p = pairs.select(
+        "src_id", "dst_id",
+        low(F.col("src_toks")).alias("s_toks"),
+        low(F.col("dst_toks")).alias("d_toks"),
+    )
+    p = p.withColumn(
+        "bonus", asm_noncontent_outcome(F.col("s_toks"), F.col("d_toks"))
+    ).filter(F.col("bonus") != -1.0)
+    content = lambda c: F.filter(  # noqa: E731
+        c, lambda x: ~x.isin(ASM_NONCONTENT)
+    )
+    p = (
+        p.withColumn("s_content", content(F.col("s_toks")))
+        .withColumn("d_content", content(F.col("d_toks")))
+        .withColumn("ns", F.size("s_content"))
+        .withColumn("nt", F.size("d_content"))
+        .filter((F.col("ns") > 0) & (F.col("nt") > 0))
+        .select("src_id", "dst_id", "bonus", "ns", "nt", "s_content",
+                "d_content")
+    )
+
+    cells = p.select(
+        "src_id", "dst_id", "bonus", "ns", "nt", "d_content",
+        F.posexplode("s_content").alias("i", "s_tok"),
+    ).select(
+        "src_id", "dst_id", "bonus", "ns", "nt", "i", "s_tok",
+        F.posexplode("d_content").alias("j", "t_tok"),
+    )
+    cells = cells.withColumn(
+        "sim6",
+        F.round(kernel(F.col("s_tok"), F.col("t_tok")) * 1e6, 0).cast("long"),
+    ).select("src_id", "dst_id", "bonus", "ns", "nt", "i", "j", "sim6")
+
+    out_schema = StructType([
+        StructField("src_id", LongType()),
+        StructField("dst_id", LongType()),
+        StructField("bonus", DoubleType()),
+        StructField("ns", IntegerType()),
+        StructField("nt", IntegerType()),
+        StructField("sum6", LongType()),
+    ])
+
+    def greedy_sum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["sim6", "i", "j"], ascending=[False, True, True]
+        )
+        used_i: set = set()
+        used_j: set = set()
+        total = 0
+        for row in pdf.itertuples(index=False):
+            if row.i in used_i or row.j in used_j:
+                continue
+            used_i.add(row.i)
+            used_j.add(row.j)
+            total += row.sim6
+        first = pdf.iloc[0]
+        return pd.DataFrame(
+            [[first.src_id, first.dst_id, first.bonus, first.ns, first.nt,
+              total]],
+            columns=["src_id", "dst_id", "bonus", "ns", "nt", "sum6"],
+        )
+
+    sums = cells.groupBy("src_id", "dst_id").applyInPandas(
+        greedy_sum, out_schema
+    )
+
+    svc, add = asm_weight_tables(max_tokens)
+    d_col = F.abs(F.col("ns") - F.col("nt"))
+    a_col = (F.col("ns") + F.col("nt")).cast("long") / F.lit(2)
+    a_col = F.floor(a_col).cast("int")
+    svc_expr = F.lit(None).cast("double")
+    for d in range(max_tokens, -1, -1):
+        svc_expr = F.when(d_col == d, F.lit(svc[d])).otherwise(svc_expr)
+    # word distance > max_tokens impossible (arrays sliced); a likewise
+    add_expr = F.lit(None).cast("double")
+    for (d, a), v in add.items():
+        add_expr = F.when(
+            (d_col == d) & (a_col == a), F.lit(v)
+        ).otherwise(add_expr)
+
+    mean = F.col("sum6").cast("double") / (
+        F.least(F.col("ns"), F.col("nt")).cast("double") * F.lit(1e6)
+    )
+    cv = F.least(F.lit(1.0), mean * svc_expr + add_expr)
+    sim = F.when(
+        F.col("bonus") > 0,
+        F.least(F.lit(1.0), cv * (F.lit(1.0) + F.col("bonus"))),
+    ).otherwise(F.least(F.lit(1.0), cv))
+    return (
+        sums.withColumn("cv", cv)
+        .filter(F.col("cv") > 0)
+        .withColumn("asm_sim", F.floor(sim * 1e6) / 1e6)
+        .select("src_id", "dst_id", "asm_sim")
+    )
