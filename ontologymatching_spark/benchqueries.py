@@ -972,7 +972,9 @@ def q_asm_content_words(spark, sf_dir):
         F.col("doc_id").alias("dst_id"), F.col("tk").alias("dst_toks"), "bk"
     )
     pairs = s.join(d, "bk").select("src_id", "dst_id", "src_toks", "dst_toks")
-    out = asm_advanced_sim(pairs, kernel=lev_min_norm_col, max_tokens=4)
+    out = asm_advanced_sim(
+        pairs, kernel=lev_min_norm_col, max_tokens=4, row_kernel=True
+    )
     return out.select(
         F.col("src_id").alias("src_doc_id"),
         F.col("dst_id").alias("dst_doc_id"),

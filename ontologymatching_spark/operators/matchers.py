@@ -386,6 +386,7 @@ def asm_advanced_sim(
     pairs: DataFrame,
     kernel=None,
     max_tokens: int = 8,
+    row_kernel: bool = False,
 ) -> DataFrame:
     """ASM content-word sub-matrix similarity
     (AdvancedSimilarityMatcher.java:154-323) — the round-3 VERDICT's missing
@@ -408,22 +409,27 @@ def asm_advanced_sim(
          AMSUB_AND_EDIT pandas UDF, simkernels.py; any (Column,Column)→
          Column works), rounded to the 1e-6 integer grid so greedy
          selection compares exact longs in any engine;
-      4. greedy 1-1 per pair (chooseBestN over the local matrix :313) runs
-         in ONE applyInPandas pass — groups are ≤max_tokens² rows, the same
-         per-component pattern as assignment.py; returns the selected-cell
-         sum so the mean sim is sum/(min(ns,nt)·1e6) — greedy over a full
-         grid always selects exactly min(ns, nt) cells;
+      4. greedy 1-1 per pair (chooseBestN over the local matrix :313) is
+         ONE codegen expression: sort_array over the ≤max_tokens² cell
+         structs (key = (-sim6, i, j) — the greedy total order), then
+         F.aggregate with a (row-bitmask, col-bitmask, sum) accumulator —
+         i and j index ≤max_tokens tokens so each mask is one long. A
+         first applyInPandas cut paid ~1 ms of per-group pandas overhead
+         × 518k pair-groups at sf0.1 (≈9 min); the bitmask fold is pure
+         whole-stage codegen after a single groupBy shuffle — and with
+         ``row_kernel=True`` (kernel is a pure Column expression, e.g.
+         lev) the grid is built IN-ROW by nested transforms instead:
+         no explode, no groupBy, ZERO shuffles after the block join.
+         The mean sim is sum/(min(ns,nt)·1e6) — greedy over a full grid
+         always selects exactly min(ns, nt) cells;
       5. computeValue (:451-491) uses the literal asm_weight_tables CASE
          chain — exp/atan precomputed, expression shape
          ``mean*svc + add`` identical in the DuckDB twin.
     """
-    import pandas as pd
-    from pyspark.sql.types import (
-        DoubleType, IntegerType, LongType, StructField, StructType,
-    )
-
     from ..functions.spark_sims import amsub_edit_udf
 
+    if max_tokens > 32:
+        raise ValueError("max_tokens > 32 breaks the greedy bitmask fold")
     if kernel is None:
         kernel = amsub_edit_udf
 
@@ -451,49 +457,74 @@ def asm_advanced_sim(
                 "d_content")
     )
 
-    cells = p.select(
-        "src_id", "dst_id", "bonus", "ns", "nt", "d_content",
-        F.posexplode("s_content").alias("i", "s_tok"),
-    ).select(
-        "src_id", "dst_id", "bonus", "ns", "nt", "i", "s_tok",
-        F.posexplode("d_content").alias("j", "t_tok"),
+    if row_kernel:
+        # kernel is a pure Column expression: build the whole cell grid
+        # IN-ROW with nested transforms — no posexplode, no groupBy, zero
+        # shuffles after the block join (pandas-UDF kernels cannot appear
+        # inside HOF lambdas, so they take the explode path below)
+        grid = p.withColumn(
+            "arr",
+            F.sort_array(F.flatten(F.transform(
+                F.col("s_content"),
+                lambda a, i: F.transform(
+                    F.col("d_content"),
+                    lambda b, j: F.struct(
+                        (-F.round(kernel(a, b) * 1e6, 0).cast("long"))
+                        .alias("k"),
+                        i.alias("i"),
+                        j.alias("j"),
+                    ),
+                ),
+            ))),
+        )
+    else:
+        cells = p.select(
+            "src_id", "dst_id", "bonus", "ns", "nt", "d_content",
+            F.posexplode("s_content").alias("i", "s_tok"),
+        ).select(
+            "src_id", "dst_id", "bonus", "ns", "nt", "i", "s_tok",
+            F.posexplode("d_content").alias("j", "t_tok"),
+        )
+        cells = cells.withColumn(
+            "sim6",
+            F.round(kernel(F.col("s_tok"), F.col("t_tok")) * 1e6, 0)
+            .cast("long"),
+        ).select("src_id", "dst_id", "bonus", "ns", "nt", "i", "j", "sim6")
+
+        cell = F.struct(
+            (-F.col("sim6")).alias("k"),
+            F.col("i").alias("i"),
+            F.col("j").alias("j"),
+        )
+        grid = cells.groupBy("src_id", "dst_id", "bonus", "ns", "nt").agg(
+            F.sort_array(F.collect_list(cell)).alias("arr")
+        )
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("mi"),
+        F.lit(0).cast("long").alias("mj"),
+        F.lit(0).cast("long").alias("s"),
     )
-    cells = cells.withColumn(
-        "sim6",
-        F.round(kernel(F.col("s_tok"), F.col("t_tok")) * 1e6, 0).cast("long"),
-    ).select("src_id", "dst_id", "bonus", "ns", "nt", "i", "j", "sim6")
 
-    out_schema = StructType([
-        StructField("src_id", LongType()),
-        StructField("dst_id", LongType()),
-        StructField("bonus", DoubleType()),
-        StructField("ns", IntegerType()),
-        StructField("nt", IntegerType()),
-        StructField("sum6", LongType()),
-    ])
-
-    def greedy_sum(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(
-            ["sim6", "i", "j"], ascending=[False, True, True]
+    def greedy_step(acc, x):
+        # pyspark's F.shiftleft wrapper only takes a Python int for numBits;
+        # the underlying SQL function accepts a column — call it directly
+        bi = F.call_function("shiftleft", F.lit(1).cast("long"), x["i"])
+        bj = F.call_function("shiftleft", F.lit(1).cast("long"), x["j"])
+        take = (acc["mi"].bitwiseAND(bi) == 0) & (
+            acc["mj"].bitwiseAND(bj) == 0
         )
-        used_i: set = set()
-        used_j: set = set()
-        total = 0
-        for row in pdf.itertuples(index=False):
-            if row.i in used_i or row.j in used_j:
-                continue
-            used_i.add(row.i)
-            used_j.add(row.j)
-            total += row.sim6
-        first = pdf.iloc[0]
-        return pd.DataFrame(
-            [[first.src_id, first.dst_id, first.bonus, first.ns, first.nt,
-              total]],
-            columns=["src_id", "dst_id", "bonus", "ns", "nt", "sum6"],
-        )
+        return F.when(
+            take,
+            F.struct(
+                acc["mi"].bitwiseOR(bi).alias("mi"),
+                acc["mj"].bitwiseOR(bj).alias("mj"),
+                (acc["s"] - x["k"]).alias("s"),
+            ),
+        ).otherwise(acc)
 
-    sums = cells.groupBy("src_id", "dst_id").applyInPandas(
-        greedy_sum, out_schema
+    sums = grid.select(
+        "src_id", "dst_id", "bonus", "ns", "nt",
+        F.aggregate("arr", acc0, greedy_step)["s"].alias("sum6"),
     )
 
     svc, add = asm_weight_tables(max_tokens)

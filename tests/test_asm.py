@@ -175,3 +175,22 @@ def test_asm_parallelism_invariance(spark):
         spark.createDataFrame(rows, schema).repartition(16)
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_asm_row_kernel_path_equivalent(spark):
+    """row_kernel=True (in-row nested-transform grid, zero post-join
+    shuffles) must produce byte-identical output to the explode+groupBy
+    path for the same JVM Column kernel."""
+    from ontologymatching_spark.functions.spark_sims import lev_min_norm_col
+
+    schema = StructType([
+        StructField("src_id", LongType()),
+        StructField("dst_id", LongType()),
+        StructField("src_toks", ArrayType(StringType())),
+        StructField("dst_toks", ArrayType(StringType())),
+    ])
+    rows = [(i, 1000 + i, s, d) for i, (s, d) in enumerate(FIXTURE_PAIRS)]
+    df = spark.createDataFrame(rows, schema)
+    a = asm_advanced_sim(df, kernel=lev_min_norm_col, row_kernel=False)
+    b = asm_advanced_sim(df, kernel=lev_min_norm_col, row_kernel=True)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
