@@ -37,7 +37,9 @@ JOBS = ["one_to_one_full", "similarity_flooding_docs"]
 
 def checksum(df) -> tuple[int, int]:
     row = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns])
-    h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
+    # sum 60-bit hashes as decimal(38,0): a long sum overflows ANSI mode
+    # past ~2^4 rows of 2^59-scale values; decimal is exact + order-free
+    h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("decimal(38,0)")
     r = df.select(
         F.sum(h).alias("c"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
