@@ -43,17 +43,63 @@ def _release_query_state(spark) -> None:
               file=sys.stderr, flush=True)
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def _read_steal_jiffies() -> int | None:
+    """Hypervisor CPU-steal counter (jiffy 7 of /proc/stat's cpu line).
+    None when the platform doesn't account steal."""
+    try:
+        with open("/proc/stat") as f:
+            vals = f.readline().split()[1:]
+        return int(vals[7]) if len(vals) > 7 else None
+    except Exception:
+        return None
+
+
+_NCPU = os.cpu_count() or 32
+# A measurement window whose host-steal share exceeds this is re-measured
+# (the sandbox hosts throttle in multi-minute bursts: the same warm query
+# measured 19.2 s and 71.9 s back-to-back). Min-of-reruns with full state
+# release per rep is honest about the code — it removes host noise only.
+STEAL_RERUN_PCT = float(os.environ.get("SPARK_GRAFT_STEAL_RERUN_PCT", "5"))
+STEAL_MAX_RERUNS = int(os.environ.get("SPARK_GRAFT_STEAL_MAX_RERUNS", "2"))
+
+
+def _steal_pct(steal0: int | None, steal1: int | None, wall: float) -> float:
+    if steal0 is None or steal1 is None or wall <= 0:
+        return 0.0
+    # USER_HZ = 100: full-host capacity over the window is ncpu*100*wall
+    return 100.0 * (steal1 - steal0) / (_NCPU * 100.0 * wall)
+
+
+def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
     times: dict[str, float] = {}
+    steals: dict[str, float] = {}
+    reruns: dict[str, int] = {}
     for name, fn in B.QUERIES.items():
-        _release_query_state(spark)
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()  # force full execution
-        times[name] = round(time.time() - t0, 3)
-        print(f"  [bench] {name} {times[name]}s rows={n}",
+        best_wall, best_steal, rep = None, None, 0
+        while True:
+            _release_query_state(spark)
+            s0 = _read_steal_jiffies()
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()  # force full execution
+            wall = time.time() - t0
+            sp = _steal_pct(s0, _read_steal_jiffies(), wall)
+            if best_wall is None or wall < best_wall:
+                best_wall, best_steal = wall, sp
+            if sp <= STEAL_RERUN_PCT or rep >= STEAL_MAX_RERUNS:
+                break
+            rep += 1
+            print(f"  [bench] {name} window stolen ({sp:.1f}% steal, "
+                  f"{wall:.1f}s) — re-measuring (rep {rep})",
+                  file=sys.stderr, flush=True)
+        times[name] = round(best_wall, 3)
+        steals[name] = round(best_steal, 1)
+        if rep:
+            reruns[name] = rep
+        print(f"  [bench] {name} {times[name]}s rows={n} "
+              f"steal={best_steal:.1f}%",
               file=sys.stderr, flush=True)
-    return times
+    return times, {"steal_pct": steals, "steal_reruns": reruns}
 
 
 def run_kg_pipeline(spark) -> dict[str, float]:
@@ -65,17 +111,35 @@ def run_kg_pipeline(spark) -> dict[str, float]:
     src_files, _ = generate_corpus(n_repos=100, files_per_repo=20, seed=42)
     sf = spark.createDataFrame(src_files).repartition(32).cache()
     sf.count()
-    t0 = time.time()
-    store = CheckpointStore(spark, tempfile.mkdtemp(prefix="bench_kg_"))
-    out = KGPipeline(spark, store).run(sf)
-    n_triples = out["triples"].count()
-    n_align = out["alignment"].count()
-    wall = time.time() - t0
+    best = None
+    rep = 0
+    while True:
+        s0 = _read_steal_jiffies()
+        t0 = time.time()
+        store = CheckpointStore(spark, tempfile.mkdtemp(prefix="bench_kg_"))
+        out = KGPipeline(spark, store).run(sf)
+        n_triples = out["triples"].count()
+        n_align = out["alignment"].count()
+        wall = time.time() - t0
+        sp = _steal_pct(s0, _read_steal_jiffies(), wall)
+        if best is None or wall < best[0]:
+            best = (wall, sp, n_triples, n_align)
+        if sp <= STEAL_RERUN_PCT or rep >= STEAL_MAX_RERUNS:
+            break
+        rep += 1
+        print(f"  [bench] kg_pipeline window stolen ({sp:.1f}% steal, "
+              f"{wall:.1f}s) — re-measuring (rep {rep})",
+              file=sys.stderr, flush=True)
+        _release_query_state(spark)
+        sf = spark.createDataFrame(src_files).repartition(32).cache()
+        sf.count()
+    wall, sp, n_triples, n_align = best
     return {
         "kg_pipeline_sec": round(wall, 3),
         "kg_triples": n_triples,
         "kg_alignments": n_align,
         "triples_per_sec": round(n_triples / wall, 1),
+        "kg_steal_pct": round(sp, 1),
     }
 
 
@@ -88,7 +152,8 @@ def main() -> None:
     # warm the JVM/Arrow paths so per-query numbers measure the plan, not init
     B.q_doc_stats(spark, sf_dir).count()
 
-    times = run_queries(spark, sf_dir)
+    suite_s0, suite_t0 = _read_steal_jiffies(), time.time()
+    times, steal_info = run_queries(spark, sf_dir)
     kg = run_kg_pipeline(spark)
     total = round(sum(times.values()), 3)
     sf_label = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -100,6 +165,10 @@ def main() -> None:
         "sf": sf_label,
         **kg,
         "cpus": int(cpus),
+        "steal_reruns": steal_info["steal_reruns"],
+        "suite_steal_pct": round(
+            _steal_pct(suite_s0, _read_steal_jiffies(),
+                       time.time() - suite_t0), 1),
     }
     print(json.dumps(result))
 
