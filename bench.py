@@ -61,6 +61,13 @@ _NCPU = os.cpu_count() or 32
 # release per rep is honest about the code — it removes host noise only.
 STEAL_RERUN_PCT = float(os.environ.get("SPARK_GRAFT_STEAL_RERUN_PCT", "5"))
 STEAL_MAX_RERUNS = int(os.environ.get("SPARK_GRAFT_STEAL_MAX_RERUNS", "2"))
+# A first measurement above this floor is re-measured once regardless of
+# steal: the first execution of a large plan pays single-threaded JVM
+# JIT/janino compilation (measured 82 s cold vs 12 s warm for ann_ivf_topk
+# on a slow-core host) — a per-session constant that amortizes to zero at
+# scale; min-of-reps reports the steady-state plan cost. CLAUDE.md round-3
+# lesson: "measure the SECOND run".
+JIT_RERUN_FLOOR = float(os.environ.get("SPARK_GRAFT_JIT_RERUN_FLOOR", "15"))
 
 
 def _steal_pct(steal0: int | None, steal1: int | None, wall: float) -> float:
@@ -86,11 +93,14 @@ def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
             sp = _steal_pct(s0, _read_steal_jiffies(), wall)
             if best_wall is None or wall < best_wall:
                 best_wall, best_steal = wall, sp
-            if sp <= STEAL_RERUN_PCT or rep >= STEAL_MAX_RERUNS:
+            stolen = sp > STEAL_RERUN_PCT
+            cold = rep == 0 and wall > JIT_RERUN_FLOOR
+            if not (stolen or cold) or rep >= STEAL_MAX_RERUNS:
                 break
             rep += 1
-            print(f"  [bench] {name} window stolen ({sp:.1f}% steal, "
-                  f"{wall:.1f}s) — re-measuring (rep {rep})",
+            why = f"{sp:.1f}% steal" if stolen else "first-run JIT floor"
+            print(f"  [bench] {name} re-measuring ({why}, {wall:.1f}s) "
+                  f"(rep {rep})",
                   file=sys.stderr, flush=True)
         times[name] = round(best_wall, 3)
         steals[name] = round(best_steal, 1)
@@ -124,11 +134,14 @@ def run_kg_pipeline(spark) -> dict[str, float]:
         sp = _steal_pct(s0, _read_steal_jiffies(), wall)
         if best is None or wall < best[0]:
             best = (wall, sp, n_triples, n_align)
-        if sp <= STEAL_RERUN_PCT or rep >= STEAL_MAX_RERUNS:
+        stolen = sp > STEAL_RERUN_PCT
+        cold = rep == 0 and wall > JIT_RERUN_FLOOR
+        if not (stolen or cold) or rep >= STEAL_MAX_RERUNS:
             break
         rep += 1
-        print(f"  [bench] kg_pipeline window stolen ({sp:.1f}% steal, "
-              f"{wall:.1f}s) — re-measuring (rep {rep})",
+        why = f"{sp:.1f}% steal" if stolen else "first-run JIT floor"
+        print(f"  [bench] kg_pipeline re-measuring ({why}, {wall:.1f}s) "
+              f"(rep {rep})",
               file=sys.stderr, flush=True)
         _release_query_state(spark)
         sf = spark.createDataFrame(src_files).repartition(32).cache()
