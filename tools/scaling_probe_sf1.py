@@ -54,6 +54,29 @@ def _timed(fn) -> float:
     return time.time() - t0
 
 
+def _timed_steal_aware(fn, max_reps: int = 2) -> tuple[float, float]:
+    """(wall, steal_pct) of the best rep — re-measures when the window's
+    hypervisor-steal share exceeds 5% (the bursty-host guard bench.py
+    grew this round; scaling ratios are even more steal-sensitive than
+    absolute walls since the two levels run minutes apart)."""
+    from bench import _read_steal_jiffies, _steal_pct
+
+    best = None
+    for _ in range(max_reps):
+        s0 = _read_steal_jiffies()
+        t0 = time.time()
+        fn()
+        wall = time.time() - t0
+        sp = _steal_pct(s0, _read_steal_jiffies(), wall)
+        if best is None or wall < best[0]:
+            best = (wall, sp)
+        if sp <= 5.0:
+            break
+        print(f"  [probe] window stolen ({sp:.1f}%, {wall:.1f}s) — "
+              "re-measuring", flush=True)
+    return best
+
+
 def run_level(cores: int, sf_dir: str, jobs: list[str],
               kg_files: int | None) -> dict[str, float]:
     spark = get_spark(app_name=f"scale{cores}", master=f"local[{cores}]")
@@ -65,9 +88,14 @@ def run_level(cores: int, sf_dir: str, jobs: list[str],
         # cached stages (e.g. minhash signatures) are skipped in the timed
         # run and the job under-reports its own work
         spark.catalog.clearCache()
-        times[name] = round(
-            _timed(lambda: B.QUERIES[name](spark, sf_dir).count()), 3
-        )
+
+        def _run(n=name):
+            spark.catalog.clearCache()
+            B.QUERIES[n](spark, sf_dir).count()
+
+        wall, sp = _timed_steal_aware(_run)
+        times[name] = round(wall, 3)
+        times[f"{name}_steal_pct"] = round(sp, 1)
     if kg_files:
         from ontologymatching_spark.corpus.generator import generate_corpus
         from ontologymatching_spark.plans.checkpoint import CheckpointStore
@@ -78,6 +106,8 @@ def run_level(cores: int, sf_dir: str, jobs: list[str],
         )
         sf = spark.createDataFrame(src_files).repartition(64).cache()
         sf.count()
+        from bench import _read_steal_jiffies, _steal_pct
+        s0 = _read_steal_jiffies()
         t0 = time.time()
         out = KGPipeline(
             spark, CheckpointStore(spark, tempfile.mkdtemp(prefix="scal_"))
@@ -86,6 +116,8 @@ def run_level(cores: int, sf_dir: str, jobs: list[str],
         wall = time.time() - t0
         times["kg_pipeline"] = round(wall, 3)
         times["kg_triples_per_sec"] = round(n_triples / wall, 1)
+        times["kg_pipeline_steal_pct"] = round(
+            _steal_pct(s0, _read_steal_jiffies(), wall), 1)
     spark.stop()
     return times
 
@@ -109,6 +141,8 @@ def main(sf_dir: str) -> None:
     def eff(lo: dict, hi: dict, ratio: float) -> dict:
         out = {}
         for k in lo:
+            if k.endswith("_steal_pct"):
+                continue
             if k.endswith("per_sec"):
                 out[k] = round(hi[k] / lo[k] / ratio, 3)
             else:
