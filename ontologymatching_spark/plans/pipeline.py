@@ -50,6 +50,57 @@ class PipelineConfig:
     )
 
 
+def combine_scores(pf: DataFrame, cfg: "PipelineConfig") -> DataFrame:
+    """(src_id, dst_id, src_uri, dst_uri, sim_bsm, sim_psm, sim_vmm) →
+    + combined ``sim`` rounded to 12 decimals (TF-IDF partial-sum order
+    varies with partitioning by ~1 ULP; rounding makes selection tie-breaks
+    bit-stable across parallelism levels, SURVEY.md §4(d)). Module-level so
+    the incremental pipeline combines reused and fresh scores through the
+    identical transformation."""
+    sim_cols = ["sim_bsm", "sim_psm", "sim_vmm"]
+    if cfg.combination == "max":
+        pf = matchers.lwc_max(pf, sim_cols)
+    elif cfg.combination == "lwc":
+        pf = matchers.lwc_quality_weighted(pf, sim_cols)
+    else:
+        pf = matchers.lwc_average(pf, sim_cols)
+    return pf.select(
+        "src_id", "dst_id", "src_uri", "dst_uri",
+        "sim_bsm", "sim_psm", "sim_vmm",
+        F.round(F.col("sim"), 12).alias("sim"),
+    )
+
+
+def apply_structural_boost(scored: DataFrame, triples: DataFrame,
+                           prepared: DataFrame, src_e: DataFrame,
+                           dst_e: DataFrame, cfg: "PipelineConfig") -> DataFrame:
+    """Optional DSI / IISM refinement over the combined scores (SURVEY §7.9;
+    OAEI2011Matcher.java:209-231 GENERAL_PURPOSE shape). Module-level so the
+    incremental pipeline applies the identical transformation."""
+    from ..operators.iism import iism
+    from ..operators.structural import dsi, parent_edges_from_triples
+
+    parents = parent_edges_from_triples(triples, prepared)
+    src_ids = src_e.select("entity_id")
+    sp = parents.join(
+        src_ids, parents.child_id == src_ids.entity_id, "left_semi"
+    )
+    dp = parents.join(
+        dst_e.select("entity_id"),
+        parents.child_id == F.col("entity_id"), "left_semi",
+    )
+    base = scored.select("src_id", "dst_id", "sim")
+    if cfg.structural_boost == "iism":
+        boosted = iism(base, sp, dp).select(
+            "src_id", "dst_id", F.col("sim_iism").alias("sim")
+        )
+    else:  # True / "dsi"
+        boosted = dsi(base, sp, dp, mcp=cfg.dsi_mcp).select(
+            "src_id", "dst_id", F.col("sim_dsi").alias("sim")
+        )
+    return scored.drop("sim").join(boosted, ["src_id", "dst_id"])
+
+
 class KGPipeline:
     """Source half = repos where pmod(hash(repo),2)==0 is NOT used — the
     split column is explicit: callers pass a ``side`` column or we derive it
@@ -158,22 +209,10 @@ class KGPipeline:
             pf = pf.join(vm, ["src_id", "dst_id"], "left").fillna(
                 {"sim_vmm": 0.0}
             )
-            sim_cols = ["sim_bsm", "sim_psm", "sim_vmm"]
-            if cfg.combination == "max":
-                pf = matchers.lwc_max(pf, sim_cols)
-            elif cfg.combination == "lwc":
-                pf = matchers.lwc_quality_weighted(pf, sim_cols)
-            else:
-                pf = matchers.lwc_average(pf, sim_cols)
-            # round the combined sim to 12 decimals: TF-IDF partial-sum order
-            # varies with partitioning (~1 ULP); rounding makes selection
-            # tie-breaks bit-stable across parallelism levels (SURVEY.md §4(d))
-            return pf.select(
-                "src_id", "dst_id",
-                F.col("s_uri").alias("src_uri"), F.col("d_uri").alias("dst_uri"),
-                "sim_bsm", "sim_psm", "sim_vmm",
-                F.round(F.col("sim"), 12).alias("sim"),
+            pf = pf.withColumn("src_uri", F.col("s_uri")).withColumn(
+                "dst_uri", F.col("d_uri")
             )
+            return combine_scores(pf, cfg)
 
         scored = st.stage("scored_pairs", _scored, inputs=["candidate_pairs"])
 
@@ -182,35 +221,12 @@ class KGPipeline:
             triples, mentions = f_side.result()
 
         if cfg.structural_boost:
-
-            def _boosted():
-                from ..operators.iism import iism
-                from ..operators.structural import (
-                    dsi, parent_edges_from_triples,
-                )
-
-                parents = parent_edges_from_triples(triples, prepared)
-                src_ids = src_e.select("entity_id")
-                sp = parents.join(
-                    src_ids, parents.child_id == src_ids.entity_id, "left_semi"
-                )
-                dp = parents.join(
-                    dst_e.select("entity_id"),
-                    parents.child_id == F.col("entity_id"), "left_semi",
-                )
-                base = scored.select("src_id", "dst_id", "sim")
-                if cfg.structural_boost == "iism":
-                    boosted = iism(base, sp, dp).select(
-                        "src_id", "dst_id", F.col("sim_iism").alias("sim")
-                    )
-                else:  # True / "dsi"
-                    boosted = dsi(base, sp, dp, mcp=cfg.dsi_mcp).select(
-                        "src_id", "dst_id", F.col("sim_dsi").alias("sim")
-                    )
-                return scored.drop("sim").join(boosted, ["src_id", "dst_id"])
-
             scored = st.stage(
-                "scored_boosted", _boosted, inputs=["scored_pairs", "triples"]
+                "scored_boosted",
+                lambda: apply_structural_boost(
+                    scored, triples, prepared, src_e, dst_e, cfg
+                ),
+                inputs=["scored_pairs", "triples"],
             )
 
         def _aligned():
