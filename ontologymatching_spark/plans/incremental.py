@@ -183,7 +183,12 @@ class IncrementalKGPipeline:
         self.store = store
         self.cfg = config or PipelineConfig()
 
-    def run(self, src_files_v2: DataFrame) -> dict[str, DataFrame]:
+    def run(self, src_files_v2: DataFrame,
+            with_stats: bool = True) -> dict[str, DataFrame]:
+        """``with_stats=False`` skips the four reuse-accounting count jobs
+        (one of which re-evaluates the reusable-scores subtree) — they are
+        diagnostics, not pipeline outputs, and at small corpora they cost
+        as much as the reuse saves."""
         cfg = self.cfg
         st = self.store
         prev = self.prev
@@ -381,17 +386,19 @@ class IncrementalKGPipeline:
 
         edges = st.stage("edges", _edges, inputs=["nodes", "triples", "links"])
 
-        stats = {
-            "n_files": v2.count(),
-            "n_files_changed": changed_files.count(),
-            "n_pairs": pairs.count(),
-            # pairs that could NOT reuse a previous BSM/PSM row — new pairs
-            # plus pairs with a changed endpoint
-            "n_pairs_rescored": pairs.join(
-                _reusable_scores().select("src_id", "dst_id"),
-                ["src_id", "dst_id"], "left_anti",
-            ).count(),
-        }
+        stats = None
+        if with_stats:
+            stats = {
+                "n_files": v2.count(),
+                "n_files_changed": changed_files.count(),
+                "n_pairs": pairs.count(),
+                # pairs that could NOT reuse a previous BSM/PSM row — new
+                # pairs plus pairs with a changed endpoint
+                "n_pairs_rescored": pairs.join(
+                    _reusable_scores().select("src_id", "dst_id"),
+                    ["src_id", "dst_id"], "left_anti",
+                ).count(),
+            }
 
         return {
             "mentions": mentions,
