@@ -68,6 +68,20 @@ STEAL_MAX_RERUNS = int(os.environ.get("SPARK_GRAFT_STEAL_MAX_RERUNS", "2"))
 # scale; min-of-reps reports the steady-state plan cost. CLAUDE.md round-3
 # lesson: "measure the SECOND run".
 JIT_RERUN_FLOOR = float(os.environ.get("SPARK_GRAFT_JIT_RERUN_FLOOR", "15"))
+# Global cap on EXTRA seconds spent re-measuring across the whole suite —
+# bounds the driver-facing wall (a pathological all-stolen run otherwise
+# triples it). Spent budget is tracked in _RERUN_SPENT.
+RERUN_BUDGET_S = float(os.environ.get("SPARK_GRAFT_RERUN_BUDGET", "420"))
+_RERUN_SPENT = 0.0
+
+
+def _rerun_allowed() -> bool:
+    return _RERUN_SPENT < RERUN_BUDGET_S
+
+
+def _note_rerun(wall: float) -> None:
+    global _RERUN_SPENT
+    _RERUN_SPENT += wall
 
 
 def _steal_pct(steal0: int | None, steal1: int | None, wall: float) -> float:
@@ -95,9 +109,11 @@ def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
                 best_wall, best_steal = wall, sp
             stolen = sp > STEAL_RERUN_PCT
             cold = rep == 0 and wall > JIT_RERUN_FLOOR
-            if not (stolen or cold) or rep >= STEAL_MAX_RERUNS:
+            if (not (stolen or cold) or rep >= STEAL_MAX_RERUNS
+                    or not _rerun_allowed()):
                 break
             rep += 1
+            _note_rerun(wall)
             why = f"{sp:.1f}% steal" if stolen else "first-run JIT floor"
             print(f"  [bench] {name} re-measuring ({why}, {wall:.1f}s) "
                   f"(rep {rep})",
@@ -136,9 +152,11 @@ def run_kg_pipeline(spark) -> dict[str, float]:
             best = (wall, sp, n_triples, n_align)
         stolen = sp > STEAL_RERUN_PCT
         cold = rep == 0 and wall > JIT_RERUN_FLOOR
-        if not (stolen or cold) or rep >= STEAL_MAX_RERUNS:
+        if (not (stolen or cold) or rep >= STEAL_MAX_RERUNS
+                or not _rerun_allowed()):
             break
         rep += 1
+        _note_rerun(wall)
         why = f"{sp:.1f}% steal" if stolen else "first-run JIT floor"
         print(f"  [bench] kg_pipeline re-measuring ({why}, {wall:.1f}s) "
               f"(rep {rep})",
