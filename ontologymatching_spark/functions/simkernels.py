@@ -255,6 +255,37 @@ def token_dice(t1: list[str], t2: list[str]) -> float:
     return 2.0 * len(a & b) / d if d else 0.0
 
 
+def lcs_subseq_len(s1: str, s2: str) -> int:
+    """Longest common SUBSEQUENCE length — the reference ConceptMatcher's
+    text kernel (`conceptMatcher/ConceptMatcher.java:318-331`; the method is
+    named LongestCommonSubstringLength but its max() recurrence computes the
+    subsequence, a quirk preserved here). Two-row DP."""
+    s1, s2 = s1 or "", s2 or ""
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0
+    if l1 > l2:
+        s1, s2, l1, l2 = s2, s1, l2, l1
+    prev = [0] * (l1 + 1)
+    cur = [0] * (l1 + 1)
+    for j in range(1, l2 + 1):
+        c2 = s2[j - 1]
+        for i in range(1, l1 + 1):
+            cur[i] = prev[i - 1] + 1 if s1[i - 1] == c2 else max(
+                prev[i], cur[i - 1]
+            )
+        prev, cur = cur, prev
+    return prev[l1]
+
+
+def lcs_text_sim(s1: str, s2: str) -> float:
+    """ConceptMatcher TextSim = LCS-subsequence length / (len1 + len2)
+    (`ConceptMatcher.java:307-308`). Both empty → 0.0 (0/0 guarded)."""
+    s1, s2 = s1 or "", s2 or ""
+    d = len(s1) + len(s2)
+    return lcs_subseq_len(s1, s2) / d if d else 0.0
+
+
 def sigmoid(x: float, k: float = 10.0, c: float = 0.5) -> float:
     """Sigmoid rescale used by LWC sigmoid-average
     (`Combination/CombinationMatcher.java:151-153`)."""

@@ -172,3 +172,13 @@ def jaro_winkler_boosted_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         [simkernels.jaro_winkler_boosted(x, y) for x, y in zip(a, b)],
         dtype="float64",
     )
+
+
+@F.pandas_udf(DoubleType())
+def lcs_text_sim_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """ConceptMatcher text kernel: LCS-subsequence length / (len1+len2)
+    (ConceptMatcher.java:307-331)."""
+    return pd.Series(
+        [simkernels.lcs_text_sim(x, y) for x, y in zip(a, b)],
+        dtype="float64",
+    )
