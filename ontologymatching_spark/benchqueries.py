@@ -1316,6 +1316,143 @@ FROM scored
 SQL_CONCEPT_MATCH = _build_sql_concept_match()
 
 
+def q_pra_block_pairs(spark, sf_dir):
+    """PRAMatcher alignment-guided subtree re-matching
+    (Matcher-PRA/.../PRAMatcher.java:71-651, VERDICT r04 missing item #2):
+    a prior alignment (equal name + equal depth between internal nodes of
+    the two 4-ary doc trees, sim 1.0) cuts both trees at matched nodes;
+    output = every candidate pair inside a matched block, i.e. src's
+    nearest matched ancestor-or-self S paired with matchedTo(S)'s subtree
+    (matchedTo = max matching dst id, the reference's overwrite quirk).
+    The unmatched partitions are excluded here by design — production
+    routes them through blocking.candidate_pairs' caps (see operators/pra
+    docstring). Integer-only output, no float parity concerns."""
+    from .operators.pra import pra_block_pairs
+
+    d0 = load(spark, sf_dir, "documents")
+    name = F.lower(F.element_at(_doc_tokens(F.col("text")), 1))
+    depth = F.when(F.col("rnk") < _CONCEPT_DEPTH_BOUNDS[1], 0)
+    for dd in range(1, 13):
+        depth = depth.when(F.col("rnk") < _CONCEPT_DEPTH_BOUNDS[dd + 1], dd)
+    depth = depth.otherwise(13)
+    nd = (
+        d0.select(
+            F.col("doc_id").alias("node_id"),
+            name.alias("name"),
+            F.expr("doc_id % 2").alias("side"),
+            F.expr("doc_id DIV 2").alias("rnk"),
+        )
+        .withColumn("depth", depth)
+    )
+    edges = nd.filter(F.col("rnk") >= 1).select(
+        F.col("node_id").alias("child_id"),
+        (F.expr("(rnk - 1) DIV 4") * 2 + F.col("side")).alias("parent_id"),
+        "side",
+    )
+    internal = edges.select(F.col("parent_id").alias("node_id")).distinct()
+    int_s = nd.filter(F.col("side") == 0).join(internal, "node_id", "semi")
+    int_d = nd.filter(F.col("side") == 1).join(internal, "node_id", "semi")
+    prior = (
+        int_s.select(
+            F.col("node_id").alias("src_id"), "name", "depth"
+        ).join(
+            int_d.select(F.col("node_id").alias("dst_id"), "name", "depth"),
+            ["name", "depth"],
+        )
+        .select("src_id", "dst_id", F.lit(1.0).alias("sim"))
+    )
+    mp, _, _ = pra_block_pairs(
+        nd.filter(F.col("side") == 0).select("node_id"),
+        nd.filter(F.col("side") == 1).select("node_id"),
+        edges.filter(F.col("side") == 0).select("child_id", "parent_id"),
+        edges.filter(F.col("side") == 1).select("child_id", "parent_id"),
+        prior,
+    )
+    return mp.select(
+        F.col("src_id").alias("src_doc_id"),
+        F.col("dst_id").alias("dst_doc_id"),
+        "src_root",
+        "dst_root",
+    )
+
+
+def _build_sql_pra() -> str:
+    """DuckDB twin of q_pra_block_pairs: the same arithmetic tree, the
+    ancestor closure as a recursive CTE carrying distance, nearest matched
+    ancestor-or-self via row_number over (dist, anc_id)."""
+    depth_case = "CASE " + " ".join(
+        f"WHEN rnk < {_CONCEPT_DEPTH_BOUNDS[d + 1]} THEN {d}"
+        for d in range(13)
+    ) + " ELSE 13 END"
+    return f"""
+WITH RECURSIVE nd AS (
+  SELECT doc_id AS node_id,
+         lower(string_split_regex(trim(text), '\\s+')[1]) AS name,
+         doc_id % 2 AS side,
+         doc_id // 2 AS rnk
+  FROM documents
+),
+nd2 AS (SELECT node_id, name, side, rnk, {depth_case} AS depth FROM nd),
+edges AS (
+  SELECT node_id AS child_id, ((rnk - 1) // 4) * 2 + side AS parent_id, side
+  FROM nd2 WHERE rnk >= 1
+),
+internal AS (SELECT DISTINCT parent_id AS node_id FROM edges),
+prior AS (
+  SELECT s.node_id AS src_id, d.node_id AS dst_id
+  FROM nd2 s JOIN nd2 d ON s.name = d.name AND s.depth = d.depth
+  WHERE s.side = 0 AND d.side = 1
+    AND s.node_id IN (SELECT node_id FROM internal)
+    AND d.node_id IN (SELECT node_id FROM internal)
+),
+matched_s AS (SELECT DISTINCT src_id AS node_id FROM prior),
+matched_d AS (SELECT DISTINCT dst_id AS node_id FROM prior),
+matched_to AS (
+  SELECT src_id AS src_root, MAX(dst_id) AS dst_root FROM prior
+  GROUP BY src_id
+),
+anc AS (
+  SELECT child_id AS node_id, parent_id AS anc_id, 1 AS dist FROM edges
+  UNION ALL
+  SELECT a.node_id, e.parent_id, a.dist + 1
+  FROM anc a JOIN edges e ON e.child_id = a.anc_id
+),
+anc_self AS (
+  SELECT node_id, anc_id, dist FROM anc
+  UNION ALL
+  SELECT node_id, node_id, 0 FROM nd2
+),
+near_s AS (
+  SELECT node_id, anc_id AS root_id FROM (
+    SELECT a.node_id, a.anc_id,
+           row_number() OVER (PARTITION BY a.node_id
+                              ORDER BY a.dist, a.anc_id) AS rn
+    FROM anc_self a
+    JOIN matched_s m ON m.node_id = a.anc_id
+    JOIN nd2 n ON n.node_id = a.node_id AND n.side = 0
+  ) WHERE rn = 1
+),
+near_d AS (
+  SELECT node_id, anc_id AS root_id FROM (
+    SELECT a.node_id, a.anc_id,
+           row_number() OVER (PARTITION BY a.node_id
+                              ORDER BY a.dist, a.anc_id) AS rn
+    FROM anc_self a
+    JOIN matched_d m ON m.node_id = a.anc_id
+    JOIN nd2 n ON n.node_id = a.node_id AND n.side = 1
+  ) WHERE rn = 1
+)
+SELECT ns.node_id AS src_doc_id, nt.node_id AS dst_doc_id,
+       ns.root_id AS src_root, nt.root_id AS dst_root
+FROM near_s ns
+JOIN matched_to mt ON mt.src_root = ns.root_id
+JOIN near_d nt ON nt.root_id = mt.dst_root
+"""
+
+
+SQL_PRA = _build_sql_pra()
+
+
 def q_jaro_winkler_pairs(spark, sf_dir):
     """Jaro-Winkler string similarity (JaroWinklerSim.java) on single-token
     doc names — Arrow-vectorized pandas UDF; DuckDB's builtin is the oracle
@@ -5087,6 +5224,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     # --- new in round 5 (never driver-verified before) ---
     "concept_match": q_concept_match,
+    "pra_block_pairs": q_pra_block_pairs,
     # --- r4-verified (CORRECTNESS_r04 green), r4 order ---
     "asm_content_words": q_asm_content_words,
     "one_to_one_full": q_one_to_one_full,
@@ -5143,6 +5281,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "concept_match": SQL_CONCEPT_MATCH,
+    "pra_block_pairs": SQL_PRA,
     "asm_content_words": SQL_ASM_CONTENT,
     "pricing_summary": SQL_PRICING,
     "top_revenue_orders": SQL_TOP_REVENUE,
