@@ -247,7 +247,6 @@ def ivf_topk(
     the session's shuffle parallelism) — the explicit-int default keeps
     small benches deterministic, but scale runs should pass None so
     bench-sized cells can't leak into a 100-TB index."""
-    grid = float(1 << grid_bits)
     if n_centroids is None:
         spark = vectors.sparkSession
         parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -265,8 +264,26 @@ def ivf_topk(
     # narrow (vec_id, cid, rk) assignment, checkpointed once — the probe
     # and cell branches both read it (the plan otherwise rebuilds the
     # crossJoin + window per branch), and no array rides its windows
+    ranked = ivf_assign(
+        vectors, centroids, nprobe=nprobe, grid_bits=grid_bits
+    ).localCheckpoint()
+    return ivf_probe_topk(vectors, ranked, k=k, n_salt=n_salt)
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    grid_bits: int = 20,
+) -> DataFrame:
+    """→ (vec_id, cid, _rk≤nprobe): nearest-centroid cell assignment.
+    VECTOR-LOCAL given the centroid table (rank-1 quantized dot, ties →
+    smaller cid) — this is the incremental-reuse boundary: a corpus
+    snapshot that keeps its centroids keeps every unchanged vector's
+    assignment rows bit-exactly (plans/incremental_dedup.py)."""
+    grid = float(1 << grid_bits)
     w = Window.partitionBy("vec_id").orderBy(F.desc("_dot"), F.asc("cid"))
-    ranked = (
+    return (
         vectors.select(
             "vec_id", _quantize_col(F.col("embedding"), grid).alias("qe")
         )
@@ -276,8 +293,19 @@ def ivf_topk(
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= nprobe)
         .select("vec_id", "cid", "_rk")
-        .localCheckpoint()
     )
+
+
+def ivf_probe_topk(
+    vectors: DataFrame,
+    ranked: DataFrame,
+    k: int = 10,
+    n_salt: int = 8,
+) -> DataFrame:
+    """IVF tail: cell equi-join + exact cosine re-rank from a precomputed
+    assignment table ``ranked`` (vec_id, cid, _rk). Global — recomputes
+    fully in the incremental plan (pair set depends on every cell's
+    membership)."""
     emb = vectors.select("vec_id", "embedding")
     # salt the cell join: with few cells (small benches / early index
     # builds) the cid key alone caps join parallelism at n_centroids tasks;

@@ -43,19 +43,18 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def minhash_lsh(
-    docs: DataFrame,
-    text_col: str = "text",
+def minhash_pairs_from_sigs(
+    sig: DataFrame,
     n_sigs: int = 16,
     band_rows: int = 4,
     est_min: float = 0.75,
 ) -> DataFrame:
-    """→ (doc_a, doc_b, est_jaccard): near-dup candidates via banded MinHash
-    over word-3-shingles (see benchqueries.q_minhash_lsh_pairs for the
-    oracle-checked twin)."""
-    from .. import benchqueries as B
-
-    sig = B._minhash_sigs(docs.select("doc_id", F.col(text_col).alias("text"))).cache()
+    """sig(doc_id, sig0..sig{n_sigs-1}) → (doc_a, doc_b, est_jaccard):
+    the GLOBAL half of MinHash dedup — band-key equi-join candidates +
+    signature-vector Jaccard estimate. Split out from ``minhash_lsh`` so the
+    incremental plan (plans/incremental_dedup.py) can feed a merged
+    reused+fresh signature table through the identical tail: signatures are
+    doc-local, this join is not."""
     n_bands = n_sigs // band_rows
     bands = None
     for i in range(n_bands):
@@ -86,6 +85,24 @@ def minhash_lsh(
         .withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= est_min)
         .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def minhash_lsh(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_sigs: int = 16,
+    band_rows: int = 4,
+    est_min: float = 0.75,
+) -> DataFrame:
+    """→ (doc_a, doc_b, est_jaccard): near-dup candidates via banded MinHash
+    over word-3-shingles (see benchqueries.q_minhash_lsh_pairs for the
+    oracle-checked twin)."""
+    from .. import benchqueries as B
+
+    sig = B._minhash_sigs(docs.select("doc_id", F.col(text_col).alias("text"))).cache()
+    return minhash_pairs_from_sigs(
+        sig, n_sigs=n_sigs, band_rows=band_rows, est_min=est_min
     )
 
 

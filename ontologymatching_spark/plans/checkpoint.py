@@ -131,6 +131,39 @@ class CheckpointStore:
         os.replace(tmp, self._manifest_path(name))  # atomic commit
         return out
 
+    # -- store-level metadata (code/config fingerprint) ---------------------
+
+    def write_meta(self, name: str, data: dict) -> None:
+        """Small store-level JSON record (e.g. the pipeline's code/config
+        fingerprint, written before any stage so later runs can refuse to
+        reuse stages produced under different matcher semantics)."""
+        if self.fmt == "iceberg":
+            df = self.spark.createDataFrame(
+                [(name, json.dumps(data, sort_keys=True))],
+                "name string, json string",
+            )
+            df.writeTo(self._table(f"_meta_{name}")).using(
+                "iceberg"
+            ).createOrReplace()
+            return
+        tmp = os.path.join(self.root, f"{name}.meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(self.root, f"{name}.meta.json"))
+
+    def read_meta(self, name: str) -> dict | None:
+        if self.fmt == "iceberg":
+            t = self._table(f"_meta_{name}")
+            if not self.spark.catalog.tableExists(t):
+                return None
+            rows = self.spark.read.table(t).collect()
+            return json.loads(rows[0].json) if rows else None
+        path = os.path.join(self.root, f"{name}.meta.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
     def manifest(self, stage: str) -> dict:
         if self.fmt == "iceberg":
             # the Iceberg snapshot log IS the manifest

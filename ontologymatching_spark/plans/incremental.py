@@ -170,18 +170,60 @@ def prev_lineage(prev: CheckpointStore) -> DataFrame:
     return t.unionByName(e).dropDuplicates(LINEAGE)
 
 
+REUSED_STAGES = ("triples", "entities", "prepared", "scored_pairs")
+
+
 class IncrementalKGPipeline:
     """Same stage names / output dict as KGPipeline, written into a FRESH
     store (the previous snapshot stays intact — it is the rollback point).
-    ``run`` additionally returns a ``stats`` entry with the reuse counts."""
+    Reuse counts land on ``self.last_stats`` after ``run`` (kept out of the
+    returned dict so it stays a uniform name→DataFrame mapping, matching
+    KGPipeline's contract).
+
+    ``__init__`` fails fast (ADVICE r04) when the previous store is missing
+    any stage this plan reuses, or was produced under a different
+    code/config fingerprint — silently reusing stale sim_bsm/sim_psm rows
+    would void the bit-identical rebuild invariant without any test
+    noticing at production scale."""
 
     def __init__(self, spark: SparkSession, prev_store: CheckpointStore,
                  store: CheckpointStore,
-                 config: PipelineConfig | None = None):
+                 config: PipelineConfig | None = None,
+                 check_fingerprint: bool = True):
         self.spark = spark
         self.prev = prev_store
         self.store = store
         self.cfg = config or PipelineConfig()
+        self.last_stats: dict | None = None
+        missing = [s for s in REUSED_STAGES if not prev_store.is_complete(s)]
+        if missing:
+            raise ValueError(
+                f"previous store is incomplete — missing stages {missing}; "
+                "incremental reuse needs a finished KGPipeline run"
+            )
+        if check_fingerprint:
+            from .pipeline import config_fingerprint
+
+            fp = config_fingerprint(self.cfg)
+            meta = prev_store.read_meta("pipeline")
+            if meta is None or meta.get("fingerprint") != fp:
+                raise ValueError(
+                    "previous store has no/mismatched code-config "
+                    "fingerprint — its checkpointed scores may come from "
+                    "different matcher semantics; rebuild it, or pass "
+                    "check_fingerprint=False to override deliberately"
+                )
+
+    def _pin(self, name: str, df: DataFrame) -> DataFrame:
+        """Pin a small derived frame that multiple downstream stages re-read.
+        Local mode: ``localCheckpoint`` (single-JVM, executor loss is
+        process death anyway). Cluster: write through the checkpoint store —
+        localCheckpoint is non-reliable (lost on executor failure) and pins
+        executor storage (ADVICE r04); the store write doubles as the
+        kill-and-restart resume point."""
+        if self.spark.sparkContext.master.startswith("local"):
+            return df.localCheckpoint()
+        return self.store.stage(name, lambda: df)
 
     def run(self, src_files_v2: DataFrame,
             with_stats: bool = True) -> dict[str, DataFrame]:
@@ -193,13 +235,19 @@ class IncrementalKGPipeline:
         st = self.store
         prev = self.prev
 
-        v2 = with_content_sha(src_files_v2).localCheckpoint()
+        # pin only the NARROW lineage projection and the diff-sized changed
+        # set — never the full v2 corpus with content (at 10^12 files that
+        # pin is a memory bind; the source scan behind these two is cheap
+        # relative to what the reuse saves)
+        v2_full = with_content_sha(src_files_v2)
+        v2 = self._pin("_v2_lineage", v2_full.select(*LINEAGE))
         lineage = prev_lineage(prev)
         # changed = new path OR new content at an existing path; files
         # REMOVED in v2 simply fail the semi-joins below.
-        changed_files = v2.join(lineage, LINEAGE, "left_anti").drop(
-            "content_sha256"
-        ).localCheckpoint()
+        changed_files = self._pin(
+            "_changed_files",
+            v2_full.join(lineage, LINEAGE, "left_anti").drop("content_sha256"),
+        )
 
         def _reuse(stage: str) -> DataFrame:
             """Previous stage rows whose source file is unchanged in v2.
@@ -207,9 +255,7 @@ class IncrementalKGPipeline:
             corpus-sized at scale (never broadcast v2); with Iceberg
             min/max stats on (repo, commit) the scan prunes to the
             intersecting partitions."""
-            return prev.read(stage).join(
-                v2.select(*LINEAGE), LINEAGE, "left_semi"
-            )
+            return prev.read(stage).join(v2, LINEAGE, "left_semi")
 
         # -- extraction: reuse unchanged files' rows, parse only the diff --
         triples = st.stage(
@@ -231,7 +277,19 @@ class IncrementalKGPipeline:
         #    a changed file's entities all live in the fresh branch and see
         #    their full sibling set there.
         def _prepared():
-            fresh_raw = extract_entities(changed_files)
+            # the changed files' raw entities were already extracted into
+            # the checkpointed 'entities' stage — filter them back out
+            # (broadcast the diff-sized path set) instead of re-running the
+            # mapInPandas parse a second time (ADVICE r04). A changed path's
+            # reused rows cannot collide here: reuse is keyed on the full
+            # (repo, path, sha) lineage, so a path whose content changed
+            # contributes only its freshly-extracted rows.
+            fresh_raw = entities_raw.join(
+                F.broadcast(
+                    changed_files.select("repo", "path").dropDuplicates()
+                ),
+                ["repo", "path"], "left_semi",
+            )
             e = matchers.prepare_entities(fresh_raw)
             e = matchers.with_virtual_doc(e)
             org = F.regexp_extract(F.col("repo"), r"org(\d+)", 1).cast("int")
@@ -386,9 +444,9 @@ class IncrementalKGPipeline:
 
         edges = st.stage("edges", _edges, inputs=["nodes", "triples", "links"])
 
-        stats = None
+        self.last_stats = None
         if with_stats:
-            stats = {
+            self.last_stats = {
                 "n_files": v2.count(),
                 "n_files_changed": changed_files.count(),
                 "n_pairs": pairs.count(),
@@ -410,5 +468,4 @@ class IncrementalKGPipeline:
             "alignment": alignment,
             "nodes": nodes,
             "edges": edges,
-            "stats": stats,
         }

@@ -50,6 +50,36 @@ class PipelineConfig:
     )
 
 
+# Bump when extraction/matcher/selection SEMANTICS change (anything that
+# would make previously checkpointed stage rows non-reusable). The
+# incremental pipeline refuses to reuse a store with a different fingerprint.
+PIPELINE_CODE_VERSION = "r5"
+
+
+def config_fingerprint(cfg: "PipelineConfig") -> str:
+    """sha256 over the result-affecting config fields + the code version —
+    recorded in the store by ``KGPipeline.run`` and compared by
+    ``IncrementalKGPipeline`` before reusing any checkpointed stage
+    (ADVICE r04: a prev run produced by different matcher code/config would
+    silently void the bit-identical rebuild invariant)."""
+    import hashlib
+    import json
+
+    payload = json.dumps(
+        {
+            "code": PIPELINE_CODE_VERSION,
+            "threshold": cfg.threshold,
+            "max_block_pairs": cfg.max_block_pairs,
+            "combination": cfg.combination,
+            "topk_guard": cfg.topk_guard,
+            "structural_boost": cfg.structural_boost,
+            "dsi_mcp": cfg.dsi_mcp,
+        },
+        sort_keys=True,
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()
+
+
 def combine_scores(pf: DataFrame, cfg: "PipelineConfig") -> DataFrame:
     """(src_id, dst_id, src_uri, dst_uri, sim_bsm, sim_psm, sim_vmm) →
     + combined ``sim`` rounded to 12 decimals (TF-IDF partial-sum order
@@ -116,6 +146,19 @@ class KGPipeline:
 
     def run(self, src_files: DataFrame) -> dict[str, DataFrame]:
         self._ex = None
+        # fingerprint first, before any stage commits: a store is only ever
+        # reusable together with the code/config that produced it — a resume
+        # against a store written under different semantics must fail fast,
+        # not silently mix stages
+        fp = config_fingerprint(self.cfg)
+        old = self.store.read_meta("pipeline")
+        if old is not None and old.get("fingerprint") != fp:
+            raise ValueError(
+                "checkpoint store was written with a different code/config "
+                "fingerprint; resume with the original config or use a "
+                "fresh store"
+            )
+        self.store.write_meta("pipeline", {"fingerprint": fp})
         try:
             return self._run(src_files)
         finally:

@@ -129,10 +129,11 @@ def test_incremental_equals_full_rebuild(spark, corpora):
 
 def test_incremental_rescores_only_the_diff(spark, corpora):
     _, v2, store_v1, _ = corpora
-    inc = IncrementalKGPipeline(
+    pipe = IncrementalKGPipeline(
         spark, store_v1, CheckpointStore(spark, tempfile.mkdtemp(prefix="inc_s_"))
-    ).run(spark.createDataFrame(v2))
-    s = inc["stats"]
+    )
+    pipe.run(spark.createDataFrame(v2))
+    s = pipe.last_stats
     # 3 touched files (2 rewrites + 1 added); the removed file is not in v2
     assert s["n_files_changed"] == 3
     assert s["n_files"] == len(v2)
@@ -142,13 +143,40 @@ def test_incremental_rescores_only_the_diff(spark, corpora):
 
 def test_incremental_noop_corpus(spark, corpora):
     v1, _, store_v1, out_v1 = corpora
-    inc = IncrementalKGPipeline(
+    pipe = IncrementalKGPipeline(
         spark, store_v1, CheckpointStore(spark, tempfile.mkdtemp(prefix="inc_n_"))
-    ).run(spark.createDataFrame(v1))
-    assert inc["stats"]["n_files_changed"] == 0
-    assert inc["stats"]["n_pairs_rescored"] == 0
+    )
+    inc = pipe.run(spark.createDataFrame(v1))
+    assert pipe.last_stats["n_files_changed"] == 0
+    assert pipe.last_stats["n_pairs_rescored"] == 0
     assert _rows(inc["alignment"], ALIGN_COLS) == _rows(
         out_v1["alignment"], ALIGN_COLS
+    )
+
+
+def test_incremental_validates_prev_store(spark, corpora):
+    """ADVICE r04: an incomplete prev store or one written under different
+    matcher code/config must fail fast in __init__, not surface as an opaque
+    mid-plan error or silently reuse stale scores."""
+    from ontologymatching_spark.plans.pipeline import PipelineConfig
+
+    _, _, store_v1, _ = corpora
+    empty = CheckpointStore(spark, tempfile.mkdtemp(prefix="inc_e_"))
+    with pytest.raises(ValueError, match="incomplete"):
+        IncrementalKGPipeline(
+            spark, empty, CheckpointStore(spark, tempfile.mkdtemp(prefix="inc_e2_"))
+        )
+    with pytest.raises(ValueError, match="fingerprint"):
+        IncrementalKGPipeline(
+            spark, store_v1,
+            CheckpointStore(spark, tempfile.mkdtemp(prefix="inc_e3_")),
+            config=PipelineConfig(threshold=0.7),
+        )
+    # deliberate override stays available
+    IncrementalKGPipeline(
+        spark, store_v1,
+        CheckpointStore(spark, tempfile.mkdtemp(prefix="inc_e4_")),
+        config=PipelineConfig(threshold=0.7), check_fingerprint=False,
     )
 
 
