@@ -93,6 +93,17 @@ JIT_RERUN_FLOOR = float(os.environ.get("SPARK_GRAFT_JIT_RERUN_FLOOR", "15"))
 # triples it). Spent budget is tracked in _RERUN_SPENT.
 RERUN_BUDGET_S = float(os.environ.get("SPARK_GRAFT_RERUN_BUDGET", "420"))
 _RERUN_SPENT = 0.0
+# Restart the SparkSession every N queries (0 = never, the default). The r5
+# bisect on the sf1 suite showed suite residue a state release CANNOT clear:
+# after the three streaming queries (or skipgram) run, a later heavy query
+# reads 2.3-2.5x its fresh-session wall at <1% steal and ~2 s GC, and
+# StateStore.stop() does not recover it (loadavg rises 13->30: leftover JVM
+# pages/writeback turn the one-disk box's shuffle reads into D-state I/O).
+# N=1 makes every query's wall a fresh-session measurement — directly
+# comparable to the standalone re-measure protocol — at the cost of ~15 s
+# untimed session spin-up per query, so it is the sf1 evidence-run mode, not
+# the driver default.
+SESSION_ISOLATE = int(os.environ.get("SPARK_GRAFT_SESSION_ISOLATE", "0"))
 
 
 def _rerun_allowed() -> bool:
@@ -111,20 +122,45 @@ def _steal_pct(steal0: int | None, steal1: int | None, wall: float) -> float:
     return 100.0 * (steal1 - steal0) / (_NCPU * 100.0 * wall)
 
 
-def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
+def _gc_time_ms(spark) -> int | None:
+    """Cumulative stop-the-world GC time of the (local-mode) JVM — per-query
+    deltas localize suite-state slowdowns that steal can't see (r5: three
+    HOF-heavy sf1 queries ran ~2x their clean standalone walls mid-suite at
+    <1% steal; per-window GC share is the diagnostic that attributes it)."""
+    try:
+        beans = (spark.sparkContext._jvm.java.lang.management
+                 .ManagementFactory.getGarbageCollectorMXBeans())
+        return sum(beans.get(i).getCollectionTime()
+                   for i in range(beans.size()))
+    except Exception:  # pragma: no cover — private-gateway drift guard
+        return None
+
+
+def run_queries(spark, sf_dir: str, respawn=None) -> tuple[dict[str, float], dict]:
     times: dict[str, float] = {}
     steals: dict[str, float] = {}
     reruns: dict[str, int] = {}
+    gcs: dict[str, float] = {}
+    since_restart = 0
     for name, fn in B.QUERIES.items():
-        best_wall, best_steal, rep = None, None, 0
+        if SESSION_ISOLATE and respawn and since_restart >= SESSION_ISOLATE:
+            spark.stop()
+            spark = respawn()
+            since_restart = 0
+        since_restart += 1
+        best_wall, best_steal, best_gc, rep = None, None, None, 0
         while True:
             _release_query_state(spark)
+            g0 = _gc_time_ms(spark)
             s0 = _read_steal_jiffies()
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()  # force full execution
             wall = time.time() - t0
             sp = _steal_pct(s0, _read_steal_jiffies(), wall)
+            g1 = _gc_time_ms(spark)
+            gc_s = ((g1 - g0) / 1000.0
+                    if g0 is not None and g1 is not None else None)
             if rep:
                 # budget is charged with the RERUN's own wall (the extra
                 # seconds actually added), after it completes — charging
@@ -132,7 +168,7 @@ def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
                 # SPARK_GRAFT_RERUN_BUDGET by a full run (ADVICE r04).
                 _note_rerun(wall)
             if best_wall is None or wall < best_wall:
-                best_wall, best_steal = wall, sp
+                best_wall, best_steal, best_gc = wall, sp, gc_s
             stolen = sp > STEAL_RERUN_PCT
             cold = rep == 0 and wall > JIT_RERUN_FLOOR
             if (not (stolen or cold) or rep >= STEAL_MAX_RERUNS
@@ -145,12 +181,16 @@ def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
                   file=sys.stderr, flush=True)
         times[name] = round(best_wall, 3)
         steals[name] = round(best_steal, 1)
+        if best_gc is not None:
+            gcs[name] = round(best_gc, 2)
         if rep:
             reruns[name] = rep
         print(f"  [bench] {name} {times[name]}s rows={n} "
-              f"steal={best_steal:.1f}%",
+              f"steal={best_steal:.1f}%"
+              + (f" gc={best_gc:.1f}s" if best_gc is not None else ""),
               file=sys.stderr, flush=True)
-    return times, {"steal_pct": steals, "steal_reruns": reruns}
+    return times, {"steal_pct": steals, "steal_reruns": reruns,
+                   "gc_sec": gcs}, spark
 
 
 def run_kg_pipeline(spark) -> dict[str, float]:
@@ -210,7 +250,12 @@ def main() -> None:
     B.q_doc_stats(spark, sf_dir).count()
 
     suite_s0, suite_t0 = _read_steal_jiffies(), time.time()
-    times, steal_info = run_queries(spark, sf_dir)
+    def respawn():
+        s = get_spark(app_name="bench", master=f"local[{cpus}]")
+        s.sparkContext.setLogLevel("ERROR")
+        return s
+
+    times, steal_info, spark = run_queries(spark, sf_dir, respawn=respawn)
     kg = run_kg_pipeline(spark)
     total = round(sum(times.values()), 3)
     sf_label = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -224,6 +269,8 @@ def main() -> None:
         "cpus": int(cpus),
         "steal_pct": steal_info["steal_pct"],
         "steal_reruns": steal_info["steal_reruns"],
+        "gc_sec": steal_info["gc_sec"],
+        "session_isolate": SESSION_ISOLATE,
         "suite_steal_pct": round(
             _steal_pct(suite_s0, _read_steal_jiffies(),
                        time.time() - suite_t0), 1),
