@@ -235,6 +235,23 @@ class IncrementalKGPipeline:
         st = self.store
         prev = self.prev
 
+        # fingerprint the NEW store too (mirrors KGPipeline.run): an
+        # incremental run's output store is the next snapshot's prev store —
+        # chained incremental maintenance (streaming/kgstream.py) would
+        # otherwise fail __init__'s fail-fast check on batch 3, and a resume
+        # against this store under different semantics must also fail fast.
+        from .pipeline import config_fingerprint as _cfp
+
+        fp = _cfp(cfg)
+        old_meta = st.read_meta("pipeline")
+        if old_meta is not None and old_meta.get("fingerprint") != fp:
+            raise ValueError(
+                "output store contains stages from a different code/config "
+                "fingerprint; resume with the original config or use a "
+                "fresh store"
+            )
+        st.write_meta("pipeline", {"fingerprint": fp})
+
         # pin only the NARROW lineage projection and the diff-sized changed
         # set — never the full v2 corpus with content (at 10^12 files that
         # pin is a memory bind; the source scan behind these two is cheap
