@@ -141,6 +141,9 @@ class StreamingKGMaintainer:
     # -- per-batch fold + re-match -----------------------------------------
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        import time
+
+        t0 = time.time()
         spark = self.spark
         # last-writer-wins within the batch: the producer's seq is the total
         # order; (repo, path) ties beyond seq cannot occur in a well-formed
@@ -201,6 +204,7 @@ class StreamingKGMaintainer:
                 "n_alignment": n_align,
                 "n_edges": n_edges,
                 "stats": stats,
+                "wall_s": round(time.time() - t0, 3),
             }
         )
         self._prune()
