@@ -31,6 +31,11 @@ from ontologymatching_spark.session import get_spark  # noqa: E402
 
 
 def measure(spark, sf_dir: str, name: str, reps: int) -> dict:
+    """``SPARK_GRAFT_STOP_BELOW`` (seconds, optional): stop repeating once a
+    CLEAN rep (steal ≤ 5%) lands under the floor — a short clean wall has
+    neither a JIT tail nor a steal window worth re-measuring, so sweep
+    drivers (tools/bench_prociso.py) don't pay double for the cheap 80%."""
+    stop_below = float(os.environ.get("SPARK_GRAFT_STOP_BELOW", "0"))
     fn = B.QUERIES[name]
     out = {"reps": [], "rows": None}
     for _ in range(reps):
@@ -44,6 +49,8 @@ def measure(spark, sf_dir: str, name: str, reps: int) -> dict:
         out["rows"] = n
         print(f"  [remeasure] {name} {wall:.1f}s steal={sp:.1f}% rows={n}",
               file=sys.stderr, flush=True)
+        if stop_below and wall < stop_below and sp <= 5.0:
+            break
     best = min(out["reps"], key=lambda r: r[0])
     out["wall"], out["steal_pct"] = best
     return out
