@@ -201,3 +201,36 @@ def test_stream_restart_recovers_and_continues(spark, stream_run):
     assert _rows(mt2.last_outputs["alignment"], ALIGN_COLS) == _rows(
         full["alignment"], ALIGN_COLS
     )
+
+
+def test_stream_tombstone_only_batch(spark):
+    """A delete-only microbatch (no upserts) must fold to the shrunk corpus
+    and re-match it exactly — the degenerate batch shape a commit that only
+    removes files produces."""
+    v1, _ = generate_corpus(n_repos=6, files_per_repo=3, seed=29)
+    gone_paths = v1[v1.repo.str.startswith("org0002")].iloc[:2]
+    v2 = v1.drop(index=gone_paths.index).reset_index(drop=True)
+
+    work = tempfile.mkdtemp(prefix="kgstomb_work_")
+    src = tempfile.mkdtemp(prefix="kgstomb_src_")
+    _write_drop(spark, _events(v1, None, seq0=0), src, "00_v1.parquet")
+    _write_drop(spark, _events(v2, v1, seq0=1000), src, "01_del.parquet")
+
+    mt = StreamingKGMaintainer(spark, work, with_stats=True)
+    mt.maintain(read_file_events(spark, src))
+
+    assert [h["version"] for h in mt.history] == [0, 1]
+    assert mt.history[1]["stats"]["n_files_changed"] == 0  # pure deletion
+    got = spark.read.parquet(mt.corpus_path)
+    assert _rows(got, CORPUS_COLS) == _rows(
+        spark.createDataFrame(v2[CORPUS_COLS]), CORPUS_COLS
+    )
+    full = KGPipeline(
+        spark, CheckpointStore(spark, tempfile.mkdtemp(prefix="kgstomb_f_"))
+    ).run(spark.createDataFrame(v2))
+    assert _rows(mt.last_outputs["alignment"], ALIGN_COLS) == _rows(
+        full["alignment"], ALIGN_COLS
+    )
+    assert _rows(mt.last_outputs["edges"], EDGE_COLS) == _rows(
+        full["edges"], EDGE_COLS
+    )
