@@ -43,8 +43,12 @@ MID_JOBS = [
     "minhash_lsh_pairs",    # sig build + banded shuffle join
 ]
 HEAVY_JOBS = [
-    "tfidf_cosine_pairs",   # 20.7M-pair sparse-vector cosine
-    "ufl_quality",          # 11-metric diagnostic over the pair matrix
+    # tfidf_cosine_pairs was retired from this set in round 5: the round-4
+    # dense-vector rewrite made it a ~13 s job at sf1, fixed-overhead-
+    # dominated at any width (see the probe rule above — a job that small
+    # cannot evidence 32-way scaling).
+    "ufl_quality",               # 11-metric diagnostic over the pair matrix
+    "similarity_flooding_docs",  # frontier propagation, 20.7M-row rounds
 ]
 
 
