@@ -28,6 +28,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fan(df: DataFrame) -> DataFrame:
+    """Scan-parallelism fix for fan-out plans (guide §2.4/§2.5): each bench
+    table is ONE parquet file with ONE row group — a single Spark scan split
+    — so any plan whose downstream joins are all broadcast inherits
+    parallelism 1 from the scan (the round-3 single-file gotcha, measured at
+    bench SF: asm_content_words ran its whole 500k-pair kernel grid in one
+    13.9 s task on a 32-core box; 3.4 s after this repartition). A
+    round-robin exchange of the narrow base rows (≤ a few MB) buys
+    full-core parallelism for every pair kernel downstream. The partition
+    count derives from the session's advertised parallelism — scale-adaptive,
+    never a local constant; SPARK_GRAFT_FAN_PARTS overrides for cluster
+    tuning (on a real cluster multi-file table layouts make this a no-op
+    cost: the exchange is still ~row-count bytes)."""
+    env = os.environ.get("SPARK_GRAFT_FAN_PARTS")
+    parts = int(env) if env else 2 * df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(parts)
+
+
 def _doc_tokens(text_col):
     """Whitespace tokens of trimmed text — matches DuckDB
     string_split_regex(trim(text), '\\s+')."""
@@ -279,8 +297,12 @@ FROM events GROUP BY 1, 2
 
 def _doc_names(spark, sf_dir):
     """Derive entity-like names from documents: first 3 tokens. Even doc_id =
-    source side, odd = target side (mirrors the two-ontology split)."""
-    d = load(spark, sf_dir, "documents")
+    source side, odd = target side (mirrors the two-ontology split).
+
+    The scan is fanned out (_fan): 13 pair queries build broadcast-join
+    fan-outs directly on this table, and without the repartition every one
+    of them runs its kernels at the single-file scan's parallelism of 1."""
+    d = _fan(load(spark, sf_dir, "documents"))
     toks = _doc_tokens(F.col("text"))
     return d.select(
         "doc_id",
@@ -688,8 +710,9 @@ def _minhash_sigs(d: DataFrame) -> DataFrame:
     The shingle-hash array is materialized (cached) BEFORE the 16 signature
     mins: higher-order functions are interpreted (no codegen subexpression
     elimination), so leaving `hs` as an expression re-runs shingling+md5
-    16x per row — measured 7x slower."""
-    hs_df = d.select(
+    16x per row — measured 7x slower. The input is fanned out first
+    (single-file scan = 1 split) so the shingle+md5 pass uses every core."""
+    hs_df = _fan(d).select(
         "doc_id",
         F.transform(
             _word_shingles(F.col("text")), lambda t: _md5int_col(t)
@@ -715,7 +738,14 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     MH_EST_MIN are dropped. The band equi-join replaces all-pairs comparison
     — the scale path for dedup on a 100 TB corpus."""
     d = load(spark, sf_dir, "documents")
+    # eager materialization: ~10 downstream branches (4 band selects, the
+    # candidate join's two sides, two signature re-joins) otherwise race the
+    # cold cache CONCURRENTLY — profiled at bench SF as 10 parallel 1-task
+    # stages EACH recomputing the full shingle+md5+16-min pass (75 s of
+    # executor time for 8 s of work); one count() populates the cache once,
+    # 32-way parallel, and every branch then reads it
     sig = _minhash_sigs(d).cache()
+    sig.count()
     bands = None
     for i in range(N_BANDS):
         b = sig.select(
@@ -963,7 +993,7 @@ def q_asm_content_words(spark, sf_dir):
     from .operators.matchers import asm_advanced_sim
 
     n_salt = 16
-    d0 = load(spark, sf_dir, "documents")
+    d0 = _fan(load(spark, sf_dir, "documents"))
     toks = F.transform(
         F.slice(_doc_tokens(F.col("text")), 1, 4), lambda x: F.lower(x)
     )
@@ -1460,7 +1490,7 @@ def q_jaro_winkler_pairs(spark, sf_dir):
     Blocked on the token's first letter."""
     from .functions.spark_sims import jaro_winkler_boosted_udf
 
-    d0 = load(spark, sf_dir, "documents")
+    d0 = _fan(load(spark, sf_dir, "documents"))
     names = d0.select(
         "doc_id", F.element_at(_doc_tokens(F.col("text")), 1).alias("name")
     ).withColumn("bk", F.substring("name", 1, 1))
@@ -2254,7 +2284,7 @@ def q_stratified_mix(spark, sf_dir):
     from .operators.sampling import stratified_sample
     from .operators.text import lang_id
 
-    d = load(spark, sf_dir, "documents")
+    d = _fan(load(spark, sf_dir, "documents"))
     langs = lang_id(d.select("doc_id", "text")).select("doc_id", "lang_guess")
     return stratified_sample(
         langs, "lang_guess", MIX_RATES, "doc_id", default_rate=MIX_DEFAULT,
@@ -3793,7 +3823,7 @@ def q_contamination_check(spark, sf_dir):
     corpus side never shuffles."""
     from .operators.text import ngram_contamination
 
-    d = load(spark, sf_dir, "documents")
+    d = _fan(load(spark, sf_dir, "documents"))
     bench = d.filter(F.col("doc_id") % 97 == 0)
     corpus = d.filter(F.col("doc_id") % 97 != 0)
     out = ngram_contamination(corpus, bench, n=CONTAM_N)
