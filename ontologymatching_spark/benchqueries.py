@@ -836,7 +836,7 @@ def q_embedding_topk(spark, sf_dir):
     no Python in the hot path. The scale path is LSH bucketing (next round)."""
     from .functions.spark_sims import cosine_array_col
 
-    e = load(spark, sf_dir, "embeddings")
+    e = _fan(load(spark, sf_dir, "embeddings"))
     probes = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
     )
@@ -1798,7 +1798,7 @@ def q_ann_lsh_buckets(spark, sf_dir):
     the scale path for similarity search (bucket-join replaces brute force;
     companion to q_embedding_topk). Planes are md5-derived integer literals,
     identical in the SQL oracle."""
-    e = load(spark, sf_dir, "embeddings")
+    e = _fan(load(spark, sf_dir, "embeddings"))
     bit_cols = []
     for j, plane in enumerate(PLANES):
         pl = F.array(*[F.lit(float(v)) for v in plane])
@@ -1841,7 +1841,7 @@ def q_ann_lsh_topk(spark, sf_dir):
     in tests (test_dedup_ann_text)."""
     from .operators.ann import lsh_topk
 
-    e = load(spark, sf_dir, "embeddings")
+    e = _fan(load(spark, sf_dir, "embeddings"))
     return lsh_topk(
         e, k=ANN_TOPK_K, n_planes=ANN_TOPK_PLANES, dim=EMB_DIM,
         n_tables=ANN_TOPK_TABLES,
@@ -1920,7 +1920,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     tests (test_dedup_ann_text)."""
     from .operators.ann import ivf_topk
 
-    e = load(spark, sf_dir, "embeddings")
+    e = _fan(load(spark, sf_dir, "embeddings"))
     # Index-parameter mode (ADVICE r03: explicit override, not only an
     # implicit row-count gate): SPARK_GRAFT_IVF_MODE = fixed | derived |
     # auto (default). auto keeps the twin's fixed 8 cells at oracle scale
@@ -2075,7 +2075,7 @@ def q_embedding_neardup(spark, sf_dir):
     same plan at ≥0.95."""
     from .functions.spark_sims import cosine_array_col
 
-    e = load(spark, sf_dir, "embeddings")
+    e = _fan(load(spark, sf_dir, "embeddings"))
     v = e.join(q_ann_lsh_buckets(spark, sf_dir), "vec_id")
     a = v.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("ea"),
                  "bucket")

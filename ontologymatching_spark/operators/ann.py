@@ -19,12 +19,26 @@ broadcast probe side — no Python in the hot path). Scale paths:
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.spark_sims import cosine_array_col
+
+
+def _pair_parts(df: DataFrame) -> int:
+    """Partition count for the compute-dense candidate-pair joins. The pair
+    rows are tiny in BYTES (ids + two array<float>) but heavy in CPU (a
+    64-dim cosine each), so AQE's byte-targeted coalescing collapses them
+    onto a handful of tasks (profiled at bench SF: the IVF cell join ran
+    35.9 s of cosine work on 5 tasks, the LSH bucket join 15.3 s on 2).
+    An explicit keyed repartition pins the join parallelism — user-specified
+    repartitions are exempt from AQE coalescing. Scale-adaptive (derived
+    from the session), env-overridable."""
+    env = os.environ.get("SPARK_GRAFT_FAN_PARTS")
+    return int(env) if env else 2 * df.sparkSession.sparkContext.defaultParallelism
 
 
 def brute_force_topk(
@@ -104,13 +118,22 @@ def lsh_topk(
         )
         outs = b if outs is None else outs.unionByName(b)
 
+    # salt the bucket join (same trick as ivf_probe_topk): with few
+    # (tbl, bucket) keys the equi-join caps at the key count and AQE's
+    # byte-targeted coalescing shrinks it further (profiled: 15.3 s of
+    # cosine work on 2 tasks at bench SF). Probes replicate across n_salt
+    # sub-buckets, each candidate keeps exactly one (vec_id-derived) salt —
+    # the pair set is identical to the unsalted join.
+    n_salt = 8
     a = outs.select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"),
         "tbl", "bucket",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("_salt"),
     )
     c = outs.select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"),
         "tbl", "bucket",
+        F.pmod(F.col("vec_id"), F.lit(n_salt)).cast("int").alias("_salt"),
     )
     # score BEFORE deduplicating: cosine is deterministic, so duplicate
     # (probe,cand) rows from different tables dedup identically on the
@@ -118,7 +141,8 @@ def lsh_topk(
     # dropDuplicates shuffle instead cost ~4x (the disagreement-variance
     # recompute-vs-materialize lesson applied to a shuffle boundary)
     pairs = (
-        a.join(c, ["tbl", "bucket"])
+        a.repartition(_pair_parts(a), "tbl", "bucket", "_salt")
+        .join(c, ["tbl", "bucket", "_salt"])
         .filter(F.col("probe_id") != F.col("cand_id"))
         .withColumn("cosine", F.round(cosine_array_col(F.col("pe"), F.col("ce")), 9))
         .select("probe_id", "cand_id", "cosine")
@@ -338,7 +362,11 @@ def ivf_probe_topk(
         )
     )
     pairs = (
-        probes.join(cells, ["cid", "_salt"])
+        # keyed repartition pins the cosine stage's parallelism (AQE's
+        # byte-targeted coalescing otherwise collapses the tiny-but-CPU-
+        # heavy pair rows onto a handful of tasks — see _pair_parts)
+        probes.repartition(_pair_parts(probes), "cid", "_salt")
+        .join(cells, ["cid", "_salt"])
         .filter(F.col("probe_id") != F.col("cand_id"))
         .withColumn(
             "cosine", F.round(cosine_array_col(F.col("pe"), F.col("ce2")), 9)
