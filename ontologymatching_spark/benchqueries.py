@@ -41,9 +41,9 @@ def _fan(df: DataFrame) -> DataFrame:
     never a local constant; SPARK_GRAFT_FAN_PARTS overrides for cluster
     tuning (on a real cluster multi-file table layouts make this a no-op
     cost: the exchange is still ~row-count bytes)."""
-    env = os.environ.get("SPARK_GRAFT_FAN_PARTS")
-    parts = int(env) if env else 2 * df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(parts)
+    from .partitions import fan_parts
+
+    return df.repartition(fan_parts(df))
 
 
 def _doc_tokens(text_col):
@@ -3610,6 +3610,9 @@ MSSG_DIM = 8
 def _mssg_docs_vectors(spark, sf_dir):
     """(docs(doc_id, tokens), vectors(word, vector)) with md5-derived token
     embeddings — deterministic, engine-portable, no RNG."""
+    # NOT fanned: the ctx groupBy already provides shuffle parallelism, and
+    # the vocab/vectors subtree re-pays the exchange per action (measured
+    # +1s on mssg_context_vectors with _fan here)
     d = load(spark, sf_dir, "documents")
     docs = d.select("doc_id", _doc_tokens(F.col("text")).alias("tokens"))
     vocab = docs.select(F.explode("tokens").alias("word")).distinct()

@@ -37,8 +37,9 @@ def _pair_parts(df: DataFrame) -> int:
     An explicit keyed repartition pins the join parallelism — user-specified
     repartitions are exempt from AQE coalescing. Scale-adaptive (derived
     from the session), env-overridable."""
-    env = os.environ.get("SPARK_GRAFT_FAN_PARTS")
-    return int(env) if env else 2 * df.sparkSession.sparkContext.defaultParallelism
+    from ..partitions import fan_parts
+
+    return fan_parts(df)
 
 
 def brute_force_topk(
