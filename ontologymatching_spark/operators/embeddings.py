@@ -492,8 +492,17 @@ def skipgram_neg_train(
             ),
         ),
     ).localCheckpoint()
+    from ..partitions import fan_parts
+
+    # fan the example table before checkpointing: every gradient round
+    # re-reads this checkpoint twice (word side + ctx side), and its
+    # inherited partitioning (profiled: 10 partitions at bench SF, 532 MB
+    # re-read per round on a third of the cores) caps the round's
+    # parallelism. Gradient sums are 2^-20-grid-exact, so partitioning
+    # cannot change the result.
     ex = examples.select("word", "ctx", F.col("label").cast("double")
-                         .alias("label")).localCheckpoint()
+                         .alias("label"))
+    ex = ex.repartition(fan_parts(ex)).localCheckpoint()
     step = lr / ex.count()  # mean-gradient step; exact same double in SQL
     for _ in range(rounds):
         we = wts.select(F.col("word_id").alias("word"),
@@ -530,17 +539,28 @@ def skipgram_neg_train(
         # summing: raw products live on 2^-40, whose exact-sum budget
         # (Σ|terms| < 2^13) a corpus-scale example count overflows — on
         # 2^-20 the budget is 2^33 terms, order-independent at any SF
+        # ONE pass over scored: a union of two selects re-computes the whole
+        # scored subtree (join + dot fold + factor) per branch — Spark has
+        # no cross-branch CSE (profiled: the round stage halves). The
+        # explode emits the same two contribution rows per example.
         contrib = scored.select(
-            F.col("word").alias("word_id"),
-            F.transform(F.col("cv"), lambda v: _fg(F.col("factor") * v))
-            .alias("g"),
-        ).unionByName(
-            scored.select(
-                F.col("ctx").alias("word_id"),
-                F.transform(F.col("wv"), lambda v: _fg(F.col("factor") * v))
-                .alias("g"),
-            )
-        )
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("word").alias("word_id"),
+                        F.transform(
+                            F.col("cv"), lambda v: _fg(F.col("factor") * v)
+                        ).alias("g"),
+                    ),
+                    F.struct(
+                        F.col("ctx").alias("word_id"),
+                        F.transform(
+                            F.col("wv"), lambda v: _fg(F.col("factor") * v)
+                        ).alias("g"),
+                    ),
+                )
+            ).alias("_c")
+        ).select(F.col("_c.word_id").alias("word_id"), F.col("_c.g").alias("g"))
         # per-dim sums in ONE groupBy (no posexplode: an 8-dim explode
         # multiplies the contribution rows 8x and needs a second groupBy
         # to re-assemble — measured 53 s → 20 s at sf0.1, 89 → 27 s at sf1)
