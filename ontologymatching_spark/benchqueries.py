@@ -629,11 +629,11 @@ GROUP BY 1, 2
 """
 
 
-def q_mutual_best_selection(spark, sf_dir):
-    """One mutual-best round over the TF-IDF pairs — the SQL-expressible core
-    of the greedy/stable-marriage 1-1 selection (scanWithBothConstraints,
-    §2.6)."""
-    pairs = q_tfidf_cosine_pairs(spark, sf_dir)
+def _mutual_best(pairs):
+    """One mutual-best round over a (src_doc_id, dst_doc_id, cosine) pair
+    table — shared by q_mutual_best_selection and q_completion_anti_join
+    (the latter feeds a materialized pair table so the TF-IDF subtree is
+    computed once, not once per branch)."""
     ws = Window.partitionBy("src_doc_id").orderBy(
         F.desc("cosine"), F.asc("dst_doc_id")
     )
@@ -646,6 +646,13 @@ def q_mutual_best_selection(spark, sf_dir):
         .filter((F.col("rs") == 1) & (F.col("rd") == 1))
         .select("src_doc_id", "dst_doc_id", "cosine")
     )
+
+
+def q_mutual_best_selection(spark, sf_dir):
+    """One mutual-best round over the TF-IDF pairs — the SQL-expressible core
+    of the greedy/stable-marriage 1-1 selection (scanWithBothConstraints,
+    §2.6)."""
+    return _mutual_best(q_tfidf_cosine_pairs(spark, sf_dir))
 
 
 SQL_MUTUAL_BEST = f"""
@@ -1588,8 +1595,12 @@ def q_completion_anti_join(spark, sf_dir):
     """Completion mode (AbstractMatcher.java:683-717): keep only candidate
     pairs whose source AND target are not already mapped by the prior
     (mutual-best) alignment — two anti-joins."""
-    pairs = q_tfidf_cosine_pairs(spark, sf_dir).cache()
-    prior = q_mutual_best_selection(spark, sf_dir).cache()
+    # ONE materialization of the TF-IDF pair table feeds everything: the
+    # previous lazy pair of caches raced cold across branches and the
+    # q_mutual_best_selection call rebuilt the TF-IDF subtree from scratch
+    # (profiled ~5 evaluations, 68 s of executor time for a 13 s subtree)
+    pairs = q_tfidf_cosine_pairs(spark, sf_dir).localCheckpoint()
+    prior = _mutual_best(pairs)
     return (
         pairs.join(prior.select("src_doc_id").distinct(), "src_doc_id", "left_anti")
         .join(prior.select("dst_doc_id").distinct(), "dst_doc_id", "left_anti")
@@ -1647,11 +1658,34 @@ def q_pr_evaluation(spark, sf_dir):
     d = names.filter(F.col("doc_id") % 2 == 1).select(
         F.col("doc_id").alias("dst_doc_id"), F.col("name").alias("n")
     )
-    gold = s.join(d, "n").select("src_doc_id", "dst_doc_id").cache()
-    ev = q_mutual_best_selection(spark, sf_dir).select("src_doc_id", "dst_doc_id").cache()
-    n_gold = gold.count()
-    n_eval = ev.count()
-    n_corr = ev.join(gold, ["src_doc_id", "dst_doc_id"]).count()
+    # ONE job for all three counts (full-outer flag join): the previous
+    # three sequential count() actions evaluated the gold and mutual-best
+    # subtrees in separate jobs (both pair sets are unique on the key, so
+    # the outer join multiplies nothing and the counts are identical)
+    gold = (
+        s.join(d, "n").select("src_doc_id", "dst_doc_id")
+        .withColumn("_g", F.lit(1))
+    )
+    ev = (
+        q_mutual_best_selection(spark, sf_dir)
+        .select("src_doc_id", "dst_doc_id").withColumn("_e", F.lit(1))
+    )
+    row = (
+        ev.join(gold, ["src_doc_id", "dst_doc_id"], "full_outer")
+        .agg(
+            F.sum("_e").alias("ne"),
+            F.sum("_g").alias("ng"),
+            F.sum(
+                F.when(
+                    F.col("_e").isNotNull() & F.col("_g").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("nc"),
+        )
+        .collect()[0]
+    )
+    n_eval = int(row.ne or 0)
+    n_gold = int(row.ng or 0)
+    n_corr = int(row.nc or 0)
     p = n_corr / n_eval if n_eval else 0.0
     r = n_corr / n_gold if n_gold else 0.0
     f1 = 2 * p * r / (p + r) if (p + r) else 0.0
@@ -3194,10 +3228,17 @@ def q_joslyn_distance_quality(spark, sf_dir):
     mp = _mapping_pairs(
         align, max_pairs=None if n_align <= 2000 else 500_000
     ).localCheckpoint()
+    # one fused diameter job per side, shared by BOTH preservation modes:
+    # the default path issued 3 counts per side per call = 12 sequential
+    # driver actions (profiled: 14 of joslyn's 17 SQL executions were
+    # sub-second counts — the wall was action latency, not compute)
+    from .operators.evaluate import joslyn_diameter
+
+    diams = (joslyn_diameter(sanc, snodes), joslyn_diameter(danc, dnodes))
     up = distance_preservation(align, sanc, danc, snodes, dnodes,
-                               mode="upper", pairs=mp)
+                               mode="upper", pairs=mp, diameters=diams)
     lo = distance_preservation(align, sanc, danc, snodes, dnodes,
-                               mode="lower", pairs=mp)
+                               mode="lower", pairs=mp, diameters=diams)
     od = order_discrepancy(align, sanc, danc, pairs=mp)
     return (
         up.select(

@@ -232,6 +232,40 @@ def order_discrepancy(
     )
 
 
+def joslyn_diameter(anc: DataFrame, nodes: DataFrame) -> float:
+    """Top-bottom diameter of one side's dag (JoslynStructuralQuality
+    :320-420 normalization): |nodes| − 1, +1 when roots ≠ 1, +1 when
+    leaves ≠ 1. ONE aggregation job — the previous three separate counts
+    (n_nodes + two anti-join counts), issued per side per metric call,
+    dominated q_joslyn's wall with 12 sequential driver actions."""
+    anc_ids = (
+        anc.select(F.col("anc_id").alias("node_id")).distinct()
+        .withColumn("_is_anc", F.lit(True))
+    )
+    desc_ids = (
+        anc.select(F.col("desc_id").alias("node_id")).distinct()
+        .withColumn("_is_desc", F.lit(True))
+    )
+    row = (
+        nodes.join(desc_ids, "node_id", "left")
+        .join(anc_ids, "node_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("_is_desc").isNull(), 1).otherwise(0))
+            .alias("roots"),
+            F.sum(F.when(F.col("_is_anc").isNull(), 1).otherwise(0))
+            .alias("leaves"),
+        )
+        .collect()[0]
+    )
+    d = float((row.n or 0) - 1)
+    if (row.roots or 0) != 1:
+        d += 1
+    if (row.leaves or 0) != 1:
+        d += 1
+    return max(d, 1.0)
+
+
 def distance_preservation(
     alignment: DataFrame,
     src_ancestors: DataFrame,
@@ -241,6 +275,7 @@ def distance_preservation(
     mode: str = "upper",
     max_pairs: int | None = None,
     pairs: DataFrame | None = None,
+    diameters: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Joslyn Upper/LowerDistancePreservationQM (UpperDistancePreservationQM
     .java / LowerDistance* via JoslynStructuralQuality.getDistanceQuality
@@ -263,19 +298,6 @@ def distance_preservation(
     bit-safe through round(·,6))."""
     if pairs is None:
         pairs = _mapping_pairs(alignment, max_pairs).localCheckpoint()
-
-    def _diameter(anc: DataFrame, nodes: DataFrame) -> float:
-        n_nodes = nodes.count()
-        anc_ids = anc.select(F.col("anc_id").alias("node_id")).distinct()
-        desc_ids = anc.select(F.col("desc_id").alias("node_id")).distinct()
-        n_roots = nodes.join(desc_ids, "node_id", "left_anti").count()
-        n_leaves = nodes.join(anc_ids, "node_id", "left_anti").count()
-        d = float(n_nodes - 1)
-        if n_roots != 1:
-            d += 1
-        if n_leaves != 1:
-            d += 1
-        return max(d, 1.0)
 
     def _dists(node_pairs: DataFrame, anc: DataFrame, diam: float,
                x: str, y: str, out: str) -> DataFrame:
@@ -316,8 +338,11 @@ def distance_preservation(
             )
         )
 
-    sdiam = _diameter(src_ancestors, src_nodes)
-    ddiam = _diameter(dst_ancestors, dst_nodes)
+    if diameters is not None:
+        sdiam, ddiam = diameters
+    else:
+        sdiam = joslyn_diameter(src_ancestors, src_nodes)
+        ddiam = joslyn_diameter(dst_ancestors, dst_nodes)
     sp = _dists(
         pairs.select("a1", "a2").distinct(), src_ancestors, sdiam,
         "a1", "a2", "d_src",
