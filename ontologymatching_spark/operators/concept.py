@@ -135,12 +135,44 @@ def concept_match(
     w_desc, w_anc, w_text = weights
     p = pairs.select("src_id", "dst_id")
 
-    desc_counts_s = _concept_counts(
-        descendant_closure(src_parent_edges, max_levels), src_nodes, "desc_id"
+    # ONE closure loop for everything (latency, not compute: each closure
+    # level is 2 blocking driver actions, and 4 independent loops — anc/desc
+    # x src/dst — made concept_match a 130-stage, driver-latency-bound plan
+    # with ~4x less executor work than wall). Both sides' edges run through
+    # a single loop under a (side, id) struct key — components are disjoint,
+    # so the union closure IS the union of the per-side closures — and the
+    # descendant closure is the TRANSPOSE of the ancestor closure's result
+    # (descendants of X = nodes whose ancestor is X), never a second loop.
+    def _tag(edges, side):
+        return edges.select(
+            F.struct(
+                F.lit(side).alias("s"), F.col("child_id").alias("i")
+            ).alias("child_id"),
+            F.struct(
+                F.lit(side).alias("s"), F.col("parent_id").alias("i")
+            ).alias("parent_id"),
+        )
+
+    anc_all = ancestor_closure(
+        _tag(src_parent_edges, 0).unionByName(_tag(dst_parent_edges, 1)),
+        max_levels,
+    ).localCheckpoint()
+
+    def _side(side):
+        return anc_all.filter(F.col("node_id.s") == side).select(
+            F.col("node_id.i").alias("node_id"), F.col("anc_id.i").alias("anc_id")
+        )
+
+    anc_closure_s, anc_closure_d = _side(0), _side(1)
+    desc_closure_s = anc_closure_s.select(
+        F.col("anc_id").alias("node_id"), F.col("node_id").alias("desc_id")
     )
-    desc_counts_d = _concept_counts(
-        descendant_closure(dst_parent_edges, max_levels), dst_nodes, "desc_id"
+    desc_closure_d = anc_closure_d.select(
+        F.col("anc_id").alias("node_id"), F.col("node_id").alias("desc_id")
     )
+
+    desc_counts_s = _concept_counts(desc_closure_s, src_nodes, "desc_id")
+    desc_counts_d = _concept_counts(desc_closure_d, dst_nodes, "desc_id")
     # ancestor sets include the node itself (ConceptMatcher.java:286-287)
     self_s = src_nodes.select(
         F.col("node_id"), F.col("node_id").alias("anc_id")
@@ -149,14 +181,10 @@ def concept_match(
         F.col("node_id"), F.col("node_id").alias("anc_id")
     )
     anc_counts_s = _concept_counts(
-        ancestor_closure(src_parent_edges, max_levels).unionByName(self_s),
-        src_nodes,
-        "anc_id",
+        anc_closure_s.unionByName(self_s), src_nodes, "anc_id"
     )
     anc_counts_d = _concept_counts(
-        ancestor_closure(dst_parent_edges, max_levels).unionByName(self_d),
-        dst_nodes,
-        "anc_id",
+        anc_closure_d.unionByName(self_d), dst_nodes, "anc_id"
     )
 
     # the two sides' count tables differ, so score each side's table pair
