@@ -156,7 +156,13 @@ class StreamingKGMaintainer:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        upserts = latest.filter(~F.col("deleted")).select(*CORPUS_COLS)
+        # a NULL deleted flag (the schema is nullable) must not silently act
+        # as a tombstone: ~NULL filters the row out of upserts while its key
+        # still drives the anti-join, deleting the file from the corpus on a
+        # malformed event (ADVICE r05). Treat NULL as "not deleted".
+        upserts = latest.filter(
+            ~F.coalesce(F.col("deleted"), F.lit(False))
+        ).select(*CORPUS_COLS)
         keys = latest.select("repo", "path")
 
         if self.corpus_path is None:
@@ -172,7 +178,15 @@ class StreamingKGMaintainer:
 
         self.version += 1
         cpath = os.path.join(self.work_dir, f"corpus_v{self.version:05d}")
-        new_corpus.write.mode("overwrite").parquet(cpath)
+        # multi-file snapshot: the source's partitioning would otherwise be
+        # preserved (a single-file bootstrap drop → a single part file →
+        # every downstream pipeline read scans the corpus as ONE split, the
+        # round-3 single-file trap — ADVICE r05)
+        from ..partitions import fan_parts
+
+        new_corpus.repartition(
+            min(fan_parts(new_corpus), 64)
+        ).write.mode("overwrite").parquet(cpath)
         corpus = spark.read.parquet(cpath)
 
         store = CheckpointStore(

@@ -35,8 +35,11 @@ def _rows(df, cols):
 
 
 def _write_drop(spark, pdf: pd.DataFrame, src_dir: str, name: str) -> None:
-    """One single-file parquet drop, written BY SPARK (schema-exact) with a
-    lexicographic name so the file source drains drops in order."""
+    """One single-file parquet drop, written BY SPARK (schema-exact).
+    ORDERING CONTRACT: Spark's file stream source drains new files by
+    MODIFICATION TIME, not name — drop order rides on these writes
+    happening in time order (matching streaming/ingest.py's 'time-ordered
+    chunks' rule); the lexicographic names are for humans (ADVICE r05)."""
     df = spark.createDataFrame(pdf[EVENT_COLS], schema=FILE_EVENT_SCHEMA)
     tmp = tempfile.mkdtemp(prefix="kgdrop_")
     df.coalesce(1).write.mode("overwrite").parquet(tmp)

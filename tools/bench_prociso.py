@@ -40,16 +40,26 @@ def main(sf_dir: str, out_path: str | None,
     walls: dict[str, float] = {}
     steals: dict[str, float] = {}
     for name in (only or B.QUERIES):
-        r = subprocess.run(
-            [sys.executable, os.path.join(HERE, "standalone_remeasure.py"),
-             sf_dir, name, "2"],
-            capture_output=True, text=True, env=env, timeout=1800,
-        )
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.join(HERE, "standalone_remeasure.py"),
+                 sf_dir, name, "2"],
+                capture_output=True, text=True, env=env, timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            # record the timeout and keep sweeping — an unhandled raise
+            # discarded every previously measured query (ADVICE r05)
+            print(f"  [prociso] {name} TIMEOUT (1800s)",
+                  file=sys.stderr, flush=True)
+            walls[name] = -1.0
+            steals[name] = -1.0
+            continue
         line = [l for l in r.stdout.splitlines() if l.startswith("{")]
         if not line:
             print(f"  [prociso] {name} FAILED:\n{r.stderr[-2000:]}",
                   file=sys.stderr, flush=True)
             walls[name] = -1.0
+            steals[name] = -1.0
             continue
         q = json.loads(line[-1])["queries"][name]
         walls[name] = q["wall"]
