@@ -81,13 +81,13 @@ def connected_components(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # materialized by the first _sig job
     )
     nodes = (
         e.select(F.col("a").alias("entity_id"))
         .unionByName(e.select(F.col("b").alias("entity_id")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # read once, by the final union
     )
 
     def _sig(df: DataFrame):
@@ -100,7 +100,9 @@ def connected_components(
     sig = _sig(e)
     rounds = 0
     for _ in range(max_rounds):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # lazy checkpoint: the _sig aggregate below materializes it, so a
+        # round costs ONE blocking driver action instead of two
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         rounds += 1
         new_sig = _sig(e)
         if new_sig == sig:

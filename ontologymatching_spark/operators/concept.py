@@ -58,7 +58,7 @@ def ancestor_closure(
     edges = parent_edges.select(
         F.col("child_id").alias("node_id"), F.col("parent_id").alias("anc_id")
     ).dropDuplicates()
-    frontier = edges.localCheckpoint()
+    frontier = edges.localCheckpoint(eager=False)
     levels = [frontier]
     for _lvl in range(1, max_levels):
         nxt = (
@@ -71,7 +71,7 @@ def ancestor_closure(
             )
             .select("node_id", F.col("next_anc").alias("anc_id"))
             .dropDuplicates()
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)  # materialized by the isEmpty probe
         if nxt.isEmpty():
             break
         frontier = nxt

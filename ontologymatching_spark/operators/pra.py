@@ -44,7 +44,7 @@ def ancestor_closure_with_dist(
     edges = parent_edges.select(
         F.col("child_id").alias("node_id"), F.col("parent_id").alias("anc_id")
     ).dropDuplicates()
-    frontier = edges.withColumn("dist", F.lit(1)).localCheckpoint()
+    frontier = edges.withColumn("dist", F.lit(1)).localCheckpoint(eager=False)
     levels = [frontier]
     for lvl in range(2, max_levels + 1):
         nxt = (
@@ -61,7 +61,7 @@ def ancestor_closure_with_dist(
                 F.lit(lvl).alias("dist"),
             )
             .dropDuplicates(["node_id", "anc_id"])
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)  # materialized by the isEmpty probe
         if nxt.isEmpty():
             break
         frontier = nxt
@@ -79,20 +79,24 @@ def pra_subtree_roots(
     parent_edges: DataFrame,
     matched_ids: DataFrame,
     max_levels: int = 30,
+    anc: DataFrame | None = None,
 ) -> DataFrame:
     """Per node, the root of the PRA subtree it falls in.
 
     ``nodes``: (node_id); ``matched_ids``: (node_id) of prior-alignment
     matched nodes. Returns (node_id, root_id) where root_id is the nearest
     matched ancestor-or-self (dist-argmin, tie-broken by smallest root_id
-    for DAG safety), or NULL for nodes in the unmatched partition."""
+    for DAG safety), or NULL for nodes in the unmatched partition.
+    ``anc``: optional precomputed (node_id, anc_id, dist) closure —
+    pra_block_pairs computes ONE closure loop for both sides and passes
+    each side's slice in (the loop is driver-latency-bound)."""
     ids = nodes.select("node_id")
     self_rows = ids.select(
         "node_id", F.col("node_id").alias("anc_id"), F.lit(0).alias("dist")
     )
-    anc = ancestor_closure_with_dist(parent_edges, max_levels).unionByName(
-        self_rows
-    )
+    if anc is None:
+        anc = ancestor_closure_with_dist(parent_edges, max_levels)
+    anc = anc.unionByName(self_rows)
     m = matched_ids.select(F.col("node_id").alias("anc_id")).dropDuplicates()
     w = Window.partitionBy("node_id").orderBy(
         F.col("dist").asc(), F.col("anc_id").asc()
@@ -136,11 +140,38 @@ def pra_block_pairs(
     # (setMatchingPairs' overwrite loop, :255-271)
     matched_to = nz.groupBy("src_id").agg(F.max("dst_id").alias("dst_root"))
 
+    # ONE closure loop for both sides (the concept_match r6 treatment):
+    # edges run under a (side, id) struct key — components are disjoint, so
+    # the union closure is the union of the per-side closures — and each
+    # side's slice feeds its pra_subtree_roots. Halves the driver-latency-
+    # bound frontier loop.
+    def _tag(edges, side):
+        return edges.select(
+            F.struct(
+                F.lit(side).alias("s"), F.col("child_id").alias("i")
+            ).alias("child_id"),
+            F.struct(
+                F.lit(side).alias("s"), F.col("parent_id").alias("i")
+            ).alias("parent_id"),
+        )
+
+    anc_all = ancestor_closure_with_dist(
+        _tag(src_parent_edges, 0).unionByName(_tag(dst_parent_edges, 1)),
+        max_levels,
+    ).localCheckpoint(eager=False)
+
+    def _side(side):
+        return anc_all.filter(F.col("node_id.s") == side).select(
+            F.col("node_id.i").alias("node_id"),
+            F.col("anc_id.i").alias("anc_id"),
+            "dist",
+        )
+
     roots_s = pra_subtree_roots(
-        src_nodes, src_parent_edges, matched_src, max_levels
+        src_nodes, src_parent_edges, matched_src, max_levels, anc=_side(0)
     )
     roots_d = pra_subtree_roots(
-        dst_nodes, dst_parent_edges, matched_dst, max_levels
+        dst_nodes, dst_parent_edges, matched_dst, max_levels, anc=_side(1)
     )
 
     s_part = roots_s.filter(F.col("root_id").isNotNull()).select(
