@@ -295,14 +295,20 @@ FROM events GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 
 
-def _doc_names(spark, sf_dir):
+def _doc_names(spark, sf_dir, fan: bool = True):
     """Derive entity-like names from documents: first 3 tokens. Even doc_id =
     source side, odd = target side (mirrors the two-ontology split).
 
     The scan is fanned out (_fan): 13 pair queries build broadcast-join
     fan-outs directly on this table, and without the repartition every one
-    of them runs its kernels at the single-file scan's parallelism of 1."""
-    d = _fan(load(spark, sf_dir, "documents"))
+    of them runs its kernels at the single-file scan's parallelism of 1.
+    ``fan=False`` for callers whose plans re-evaluate this subtree in many
+    concurrent branch jobs — there the per-evaluation exchange piles up and
+    measures SLOWER than the single-task scan (iism_subprop_union A/B:
+    4.5-4.7 s fanned vs 2.6-3.6 s unfanned)."""
+    d = load(spark, sf_dir, "documents")
+    if fan:
+        d = _fan(d)
     toks = _doc_tokens(F.col("text"))
     return d.select(
         "doc_id",
@@ -319,13 +325,13 @@ _SQL_DOC_NAMES = """
 """
 
 
-def q_lev_blocked_pairs(spark, sf_dir):
+def q_lev_blocked_pairs(spark, sf_dir, fan: bool = True):
     """Blocked similarity join with min-length-normalized Levenshtein
     (LevenshteinEditDistance.java semantics; blocking replaces the cartesian,
     §2.3). Output: every cross-side pair sharing a block key, sim >= 0.5."""
     from .functions.spark_sims import lev_min_norm_col
 
-    names = _doc_names(spark, sf_dir)
+    names = _doc_names(spark, sf_dir, fan=fan)
     s = names.filter(F.col("doc_id") % 2 == 0).select(
         F.col("doc_id").alias("src_doc_id"),
         F.col("name").alias("s_name"), "block_key",
@@ -2869,11 +2875,16 @@ def q_iism_subprop_union(spark, sf_dir):
         union_class_alignments,
     )
 
-    base = q_lev_blocked_pairs(spark, sf_dir).select(
+    # materialized once, UNFANNED: the two rules fan out into ~6 concurrent
+    # branch jobs that each re-evaluated the blocked-lev subtree (profiled
+    # as six duplicate ~1 s stages at bench SF); with the fan exchange in
+    # each branch the pile-up measured SLOWER than the single-task scan
+    # (A/B in _doc_names docstring), so this caller opts out of _fan
+    base = q_lev_blocked_pairs(spark, sf_dir, fan=False).select(
         F.col("src_doc_id").alias("src_id"),
         F.col("dst_doc_id").alias("dst_id"),
         F.col("lev_sim").alias("sim"),
-    )
+    ).localCheckpoint()
     d = load(spark, sf_dir, "documents")
     parent = (F.floor(F.col("doc_id") / 10) * 10 + F.col("doc_id") % 2).cast(
         "long"

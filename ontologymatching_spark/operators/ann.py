@@ -119,22 +119,20 @@ def lsh_topk(
         )
         outs = b if outs is None else outs.unionByName(b)
 
-    # salt the bucket join (same trick as ivf_probe_topk): with few
-    # (tbl, bucket) keys the equi-join caps at the key count and AQE's
-    # byte-targeted coalescing shrinks it further (profiled: 15.3 s of
-    # cosine work on 2 tasks at bench SF). Probes replicate across n_salt
-    # sub-buckets, each candidate keeps exactly one (vec_id-derived) salt —
-    # the pair set is identical to the unsalted join.
-    n_salt = 8
+    # r6 NOTE: a salted variant of this join (probe exploded 8x, candidates
+    # pmod-salted, keyed repartition) was measured and REVERTED — with the
+    # caller's scan fanned the candidate side broadcasts and the probe side
+    # carries the scan's parallelism, so the salt's 8x probe replication was
+    # pure overhead (interleaved A/B at bench SF: salted ~4.0 s, unsalted
+    # ~2.5-3.5 s, both stable). The round-5 2-task pathology came from the
+    # single-split scan upstream, not from this join's key count.
     a = outs.select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"),
         "tbl", "bucket",
-        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("_salt"),
     )
     c = outs.select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"),
         "tbl", "bucket",
-        F.pmod(F.col("vec_id"), F.lit(n_salt)).cast("int").alias("_salt"),
     )
     # score BEFORE deduplicating: cosine is deterministic, so duplicate
     # (probe,cand) rows from different tables dedup identically on the
@@ -142,8 +140,7 @@ def lsh_topk(
     # dropDuplicates shuffle instead cost ~4x (the disagreement-variance
     # recompute-vs-materialize lesson applied to a shuffle boundary)
     pairs = (
-        a.repartition(_pair_parts(a), "tbl", "bucket", "_salt")
-        .join(c, ["tbl", "bucket", "_salt"])
+        a.join(c, ["tbl", "bucket"])
         .filter(F.col("probe_id") != F.col("cand_id"))
         .withColumn("cosine", F.round(cosine_array_col(F.col("pe"), F.col("ce")), 9))
         .select("probe_id", "cand_id", "cosine")
