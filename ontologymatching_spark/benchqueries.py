@@ -4489,7 +4489,10 @@ def q_lexicon_match(spark, sf_dir):
     Porter runs in the pipeline path, parity-tested separately)."""
     from .operators.lexicon import build_lexicon, lsm
 
-    names = _doc_names(spark, sf_dir)
+    # unfanned: the lexicon build re-evaluates the names subtree in several
+    # concurrent branches and its kernels are cheap (A/B: 0.67 s vs 1.25 s
+    # fanned — same pile-up as iism_subprop_union)
+    names = _doc_names(spark, sf_dir, fan=False)
     ents = names.select(
         F.col("doc_id").alias("entity_id"),
         F.col("name").alias("local_name"),

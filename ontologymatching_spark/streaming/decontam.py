@@ -47,10 +47,15 @@ def run_decontam_available_now(
     )
 
     def _admit_clean(batch_df: DataFrame, epoch_id: int) -> None:
-        flags = ngram_contamination(
-            batch_df.select("doc_id", "text"), benchmark, n=n
-        )
-        clean = batch_df.join(
+        from ..partitions import fan_parts
+
+        # a microbatch is ONE drop file = one scan split: without the
+        # repartition the whole gram-hash + membership pass runs on a
+        # single task (the round-3 single-file gotcha applied to the
+        # stream side; profiled 8-10 s per batch at bench SF)
+        b = batch_df.repartition(fan_parts(batch_df))
+        flags = ngram_contamination(b.select("doc_id", "text"), benchmark, n=n)
+        clean = b.join(
             flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
         )
         clean.write.mode("append").parquet(out_dir)
